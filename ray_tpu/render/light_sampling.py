@@ -1,0 +1,354 @@
+"""Next-event estimation: light picking + per-type position sampling.
+
+Vectorized equivalent of the reference's ``SampleLightSource``
+(internal/CoreRef.cpp:3264-3614): pick one light per hit from the
+power-weighted CDF (the flux-proportional limit of the reference's
+hierarchical light-BVH descent), then sample a point/direction on it with
+the same per-type strategies — sphere via solid-angle cone, dir via cone,
+rect/disk/line via area sampling, triangle via area sampling, env via
+cosine-hemisphere (env importance map comes with the qtree in a later
+phase).  All light types are evaluated compute-all-select.
+
+Output pdf convention: ``ls.pdf`` is the solid-angle pdf multiplied by the
+light pick probability, so an NEE contribution is ``ls.col·f_cos/ls.pdf``
+— matching the reference's ``ls.pdf /= factor`` (CoreRef.cpp:3613).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ray_tpu.ops.linalg import (
+    MAX_DIST,
+    cross,
+    dot,
+    normalize,
+    offset_ray,
+    safe_div_pos,
+    safe_normalize,
+    saturate,
+    world_from_tangent,
+)
+from ray_tpu.render.bsdf.microfacet import PI
+from ray_tpu.scene.lights import LightType
+
+
+class LightSample(NamedTuple):
+    """Analogue of ``light_sample_t`` (internal/CoreRef.h:123)."""
+
+    col: jnp.ndarray       # (R, 3)
+    L: jnp.ndarray         # (R, 3) direction to light
+    lp: jnp.ndarray        # (R, 3) point on light (biased off surface)
+    area: jnp.ndarray      # (R,) 0 → skip MIS (invisible/delta light)
+    dist_mul: jnp.ndarray  # (R,) shadow-ray length multiplier (env/dir = MAX)
+    pdf: jnp.ndarray       # (R,) solid-angle pdf × pick probability
+    cast_shadow: jnp.ndarray  # (R,) bool
+    from_env: jnp.ndarray     # (R,) bool
+
+
+def _sincos(x):
+    return jnp.sin(x), jnp.cos(x)
+
+
+def _map_to_cone(r1, r2, axis, radius):
+    """Concentric disk point on the plane through ``axis``'s endpoint
+    (reference CoreRef.cpp map_to_cone)."""
+    ox = 2.0 * r1 - 1.0
+    oy = 2.0 * r2 - 1.0
+    zero = (ox == 0.0) & (oy == 0.0)
+    use_x = jnp.abs(ox) > jnp.abs(oy)
+    r = jnp.where(use_x, ox, oy)
+    theta = jnp.where(
+        use_x,
+        0.25 * PI * safe_div_pos(oy, jnp.where(use_x, ox, 1.0)),
+        0.5 * PI - 0.25 * PI * safe_div_pos(ox, jnp.where(use_x, 1.0, oy)),
+    )
+    st, ct = _sincos(theta)
+    du = jnp.where(zero, 0.0, r * ct)
+    dv = jnp.where(zero, 0.0, r * st)
+    # orthonormal basis around axis
+    from ray_tpu.ops.linalg import orthonormal_basis
+
+    n = safe_normalize(axis)
+    t, b = orthonormal_basis(n)
+    return axis + radius[..., None] * (du[..., None] * t + dv[..., None] * b)
+
+
+def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
+    """Sample one light for each of R shading points.
+
+    Returns a :class:`LightSample`; ``pdf == 0`` marks a failed/absent sample.
+    """
+    lights = scene.lights
+    R = P.shape[0]
+    nl = lights["type"].shape[0]
+
+    # pick by CDF
+    idx = jnp.searchsorted(lights["pick_cdf"], rand_pick, side="right").astype(jnp.int32)
+    idx = jnp.clip(idx, 0, nl - 1)
+    pick_pdf = lights["pick_pdf"][idx]
+    # rescale the pick random for reuse inside the light (env qtree later)
+    cdf_lo = jnp.where(idx > 0, lights["pick_cdf"][jnp.maximum(idx - 1, 0)], 0.0)
+    u1 = saturate(safe_div_pos(rand_pick - cdf_lo, pick_pdf))
+
+    ltype = lights["type"][idx]
+    lcol = lights["col"][idx]
+    lpos = lights["pos"][idx]
+    ldir = lights["dir"][idx]
+    lu = lights["u"][idx]
+    lv = lights["v"][idx]
+    radius = lights["radius"][idx]
+    width = lights["width"][idx]
+    height = lights["height"][idx]
+    angle = lights["angle"][idx]
+    visible = lights["visible"][idx]
+    doublesided = lights["doublesided"][idx]
+    cast_shadow = lights["cast_shadow"][idx]
+    spot_cos = lights["spot_cos"][idx]
+    spot_blend = lights["spot_blend"][idx]
+
+    r1 = rand_uv[..., 0]
+    r2 = rand_uv[..., 1]
+
+    out_col = jnp.broadcast_to(lcol, (R, 3)) * 1.0
+    out_L = jnp.zeros((R, 3), jnp.float32)
+    out_lp = jnp.zeros((R, 3), jnp.float32)
+    out_area = jnp.zeros((R,), jnp.float32)
+    out_pdf = jnp.zeros((R,), jnp.float32)
+    out_distmul = jnp.ones((R,), jnp.float32)
+    out_fromenv = jnp.zeros((R,), jnp.bool_)
+
+    # ---- sphere (incl. spot) — CoreRef.cpp:3322-3368 ----
+    to_c = lpos - P
+    d = jnp.sqrt(jnp.maximum(dot(to_c, to_c, False), 1e-30))
+    light_normal = to_c / d[:, None]
+    outside = d > radius
+    temp = jnp.sqrt(jnp.maximum(d * d - radius * radius, 0.0))
+    disk_radius = safe_div_pos(temp * radius, d)
+    disk_dist = jnp.where(radius > 0.0, safe_div_pos(temp * disk_radius, radius), d)
+    cone_pt = _map_to_cone(r1, r2, disk_dist[:, None] * light_normal, disk_radius)
+    cone_len = jnp.sqrt(jnp.maximum(dot(cone_pt, cone_pt, False), 1e-30))
+    sph_L = cone_pt / cone_len[:, None]
+    # project sampled dir onto the sphere surface
+    b_q = dot(sph_L, -to_c, False)
+    c_q = dot(to_c, to_c, False) - radius * radius
+    disc = jnp.maximum(b_q * b_q - c_q, 0.0)
+    ls_dist = -b_q - jnp.sqrt(disc)
+    sph_surf = P + sph_L * ls_dist[:, None]
+    sph_fwd = safe_normalize(sph_surf - lpos)
+    sampled_area = PI * disk_radius * disk_radius
+    cos_theta_s = dot(sph_L, light_normal, False)
+    sph_pdf = jnp.where(
+        radius > 0.0,
+        safe_div_pos(cone_len * cone_len, sampled_area * jnp.maximum(cos_theta_s, 1e-7)),
+        safe_div_pos(cone_len * cone_len, PI),
+    )
+    sph_lp = jnp.where(
+        (radius > 0.0)[:, None], offset_ray(sph_surf, sph_fwd), lpos
+    )
+    # spot factor
+    spot_dot = -dot(sph_L, ldir, False)
+    spot_angle = jnp.arccos(saturate(spot_dot))
+    spot_limit = jnp.arccos(jnp.clip(spot_cos, -1.0, 1.0))
+    spot_factor = jnp.where(
+        spot_cos > -1.5,
+        jnp.where(
+            spot_dot > 0.0,
+            saturate(safe_div_pos(spot_limit - spot_angle, jnp.maximum(spot_blend, 1e-6))),
+            0.0,
+        ),
+        1.0,
+    )
+    is_sph = ltype == LightType.SPHERE
+    sph_ok = is_sph & outside
+    out_L = jnp.where(sph_ok[:, None], sph_L, out_L)
+    out_lp = jnp.where(sph_ok[:, None], sph_lp, out_lp)
+    out_pdf = jnp.where(sph_ok, sph_pdf, out_pdf)
+    out_area = jnp.where(sph_ok & visible, sampled_area, out_area)
+    out_col = jnp.where(is_sph[:, None], out_col * spot_factor[:, None], out_col)
+
+    # ---- directional — CoreRef.cpp:3369-3391 ----
+    tan_angle = jnp.tan(jnp.radians(angle) * 0.5)
+    has_spread = tan_angle != 0.0
+    cone = _map_to_cone(r1, r2, ldir, tan_angle)
+    dir_L = jnp.where(has_spread[:, None], safe_normalize(cone), ldir)
+    dir_area = jnp.where(has_spread, PI * tan_angle * tan_angle, 0.0)
+    dir_cos = dot(dir_L, ldir, False)
+    dir_pdf = jnp.where(
+        has_spread, safe_div_pos(1.0, dir_area * jnp.maximum(dir_cos, 1e-7)), 1.0
+    )
+    is_dir = ltype == LightType.DIR
+    out_L = jnp.where(is_dir[:, None], dir_L, out_L)
+    out_lp = jnp.where(is_dir[:, None], P + dir_L, out_lp)
+    out_pdf = jnp.where(is_dir, dir_pdf, out_pdf)
+    out_area = jnp.where(is_dir & visible, dir_area, out_area)
+    out_distmul = jnp.where(is_dir, MAX_DIST, out_distmul)
+
+    # ---- rect — CoreRef.cpp:3392-3422 (uniform area; spherical-rect later) --
+    rect_u = lu * width[:, None]
+    rect_v = lv * height[:, None]
+    rect_fwd = safe_normalize(cross(rect_u, rect_v))
+    rp = lpos + rect_u * (r1 - 0.5)[:, None] + rect_v * (r2 - 0.5)[:, None]
+    rvec = rp - P
+    rdist = jnp.sqrt(jnp.maximum(dot(rvec, rvec, False), 1e-30))
+    rect_L = rvec / rdist[:, None]
+    rect_area = width * height
+    rcos = dot(-rect_L, rect_fwd, False)
+    rcos_eff = jnp.where(doublesided, jnp.abs(rcos), rcos)
+    rect_ok = (ltype == LightType.RECT) & (rcos_eff > 0.0)
+    rect_pdf = safe_div_pos(rdist * rdist, rect_area * jnp.maximum(rcos_eff, 1e-9))
+    rect_side = jnp.where((rcos > 0.0)[:, None], rect_fwd, -rect_fwd)
+    out_L = jnp.where(rect_ok[:, None], rect_L, out_L)
+    out_lp = jnp.where(rect_ok[:, None], offset_ray(rp, rect_side), out_lp)
+    out_pdf = jnp.where(rect_ok, rect_pdf, out_pdf)
+    out_area = jnp.where(rect_ok & visible, rect_area, out_area)
+
+    # ---- disk — CoreRef.cpp:3423-3466 ----
+    ox = 2.0 * r1 - 1.0
+    oy = 2.0 * r2 - 1.0
+    use_x = jnp.abs(ox) > jnp.abs(oy)
+    rr = jnp.where(use_x, ox, oy)
+    th = jnp.where(
+        use_x,
+        0.25 * PI * safe_div_pos(oy, jnp.where(use_x, ox, 1.0)),
+        0.5 * PI - 0.25 * PI * safe_div_pos(ox, jnp.where(use_x, 1.0, oy)),
+    )
+    sth, cth = _sincos(th)
+    zero_off = (ox == 0.0) & (oy == 0.0)
+    du = jnp.where(zero_off, 0.0, 0.5 * rr * cth)
+    dv = jnp.where(zero_off, 0.0, 0.5 * rr * sth)
+    dp = lpos + lu * (du * width)[:, None] + lv * (dv * height)[:, None]
+    disk_fwd = safe_normalize(cross(lu, lv))
+    dvec = dp - P
+    ddist = jnp.sqrt(jnp.maximum(dot(dvec, dvec, False), 1e-30))
+    dL = dvec / ddist[:, None]
+    disk_area = 0.25 * PI * width * height
+    dcos = dot(-dL, disk_fwd, False)
+    dcos_eff = jnp.where(doublesided, jnp.abs(dcos), dcos)
+    disk_ok = (ltype == LightType.DISK) & (dcos_eff > 0.0)
+    disk_pdf = safe_div_pos(ddist * ddist, disk_area * jnp.maximum(dcos_eff, 1e-9))
+    disk_side = jnp.where((dcos > 0.0)[:, None], disk_fwd, -disk_fwd)
+    out_L = jnp.where(disk_ok[:, None], dL, out_L)
+    out_lp = jnp.where(disk_ok[:, None], offset_ray(dp, disk_side), out_lp)
+    out_pdf = jnp.where(disk_ok, disk_pdf, out_pdf)
+    out_area = jnp.where(disk_ok & visible, disk_area, out_area)
+
+    # ---- line — CoreRef.cpp:3467-3506 ----
+    c2s = P - lpos
+    line_u = safe_normalize(cross(c2s, lv))
+    line_v2 = cross(line_u, lv)
+    phi = PI * r1
+    sphl, cphl = _sincos(phi)
+    line_n = cphl[:, None] * line_u + sphl[:, None] * line_v2
+    lp_line = lpos + line_n * radius[:, None] + (r2 - 0.5)[:, None] * lv * height[:, None]
+    lvec = lp_line - P
+    ldist = jnp.sqrt(jnp.maximum(dot(lvec, lvec, False), 1e-30))
+    lL = lvec / ldist[:, None]
+    line_area = 2.0 * PI * radius * height
+    lcos = 1.0 - jnp.abs(dot(lL, lv, False))
+    line_ok = (ltype == LightType.LINE) & (lcos != 0.0)
+    line_pdf = safe_div_pos(ldist * ldist, line_area * jnp.maximum(lcos, 1e-9))
+    out_L = jnp.where(line_ok[:, None], lL, out_L)
+    out_lp = jnp.where(line_ok[:, None], lp_line, out_lp)
+    out_pdf = jnp.where(line_ok, line_pdf, out_pdf)
+    out_area = jnp.where(line_ok & visible, line_area, out_area)
+
+    # ---- triangle — CoreRef.cpp:3507-3577 (uniform area sampling) ----
+    tri = jnp.maximum(lights["tri_index"][idx], 0)
+    tvidx = scene.tri_vidx[tri]
+    tp0 = scene.vertices[tvidx[:, 0]]
+    tp1 = scene.vertices[tvidx[:, 1]]
+    tp2 = scene.vertices[tvidx[:, 2]]
+    tfwd = cross(tp1 - tp0, tp2 - tp0)
+    tfwd_len = jnp.sqrt(jnp.maximum(dot(tfwd, tfwd, False), 1e-30))
+    tri_fwd = tfwd / tfwd_len[:, None]
+    tri_area = 0.5 * tfwd_len
+    sr1 = jnp.sqrt(jnp.maximum(r1, 0.0))
+    tlp = (
+        tp0 * (1.0 - sr1)[:, None]
+        + sr1[:, None] * (tp1 * (1.0 - r2)[:, None] + tp2 * r2[:, None])
+    )
+    tvec = tlp - P
+    tdist = jnp.sqrt(jnp.maximum(dot(tvec, tvec, False), 1e-30))
+    tL = tvec / tdist[:, None]
+    tcos = -dot(tL, tri_fwd, False)
+    tcos_eff = jnp.where(doublesided, jnp.abs(tcos), tcos)
+    tri_ok = (ltype == LightType.TRI) & (tcos_eff > 0.0)
+    tri_pdf = safe_div_pos(tdist * tdist, tri_area * jnp.maximum(tcos_eff, 1e-9))
+    tri_side = jnp.where((tcos >= 0.0)[:, None], tri_fwd, -tri_fwd)
+    out_L = jnp.where(tri_ok[:, None], tL, out_L)
+    out_lp = jnp.where(tri_ok[:, None], offset_ray(tlp, tri_side), out_lp)
+    out_pdf = jnp.where(tri_ok, tri_pdf, out_pdf)
+    out_area = jnp.where(tri_ok, tri_area, out_area)
+
+    # ---- env — CoreRef.cpp:3578-3611 (cosine-free hemisphere around N) ----
+    phi_e = 2.0 * PI * r2
+    spe, cpe = _sincos(phi_e)
+    de = jnp.sqrt(jnp.maximum(1.0 - r1 * r1, 0.0))
+    env_ts = jnp.stack([de * cpe, de * spe, r1], axis=-1)
+    env_L = world_from_tangent(T, B, N, env_ts)
+    is_env = ltype == LightType.ENV
+    env_col_mult = env_color(scene, env_L)
+    out_col = jnp.where(is_env[:, None], out_col * env_col_mult, out_col)
+    out_L = jnp.where(is_env[:, None], env_L, out_L)
+    out_lp = jnp.where(is_env[:, None], P + env_L, out_lp)
+    out_pdf = jnp.where(is_env, 0.5 / PI, out_pdf)
+    out_area = jnp.where(is_env, 1.0, out_area)
+    out_distmul = jnp.where(is_env, MAX_DIST, out_distmul)
+    out_fromenv = out_fromenv | is_env
+
+    # fold in pick probability (reference: ls.pdf /= factor)
+    out_pdf = out_pdf * pick_pdf
+
+    return LightSample(
+        col=out_col,
+        L=out_L,
+        lp=out_lp,
+        area=out_area,
+        dist_mul=out_distmul,
+        pdf=out_pdf,
+        cast_shadow=cast_shadow,
+        from_env=out_fromenv,
+    )
+
+
+def env_color(scene, L):
+    """Environment radiance along L: constant color × optional latlong map
+    (reference Evaluate_EnvColor, ShadeRef.cpp:1038-1076)."""
+    col = jnp.broadcast_to(scene.env_col, L.shape)
+    has_map = scene.env_map >= 0
+
+    # latlong lookup
+    rot = scene.env_rotation
+    x = L[..., 0] * jnp.cos(rot) - L[..., 2] * jnp.sin(rot)
+    z = L[..., 0] * jnp.sin(rot) + L[..., 2] * jnp.cos(rot)
+    theta = jnp.arccos(jnp.clip(L[..., 1], -1.0, 1.0)) / PI
+    phi = jnp.arctan2(z, x)
+    u = jnp.where(phi < 0.0, phi + 2.0 * PI, phi) / (2.0 * PI)
+    uv = jnp.stack([u, theta], axis=-1)
+    from ray_tpu.scene.textures import sample_bilinear
+
+    tex_id = jnp.where(has_map, scene.env_map, 0)
+    tex = sample_bilinear(
+        scene.textures, jnp.broadcast_to(tex_id, L.shape[:-1]), uv
+    )
+    return jnp.where(has_map, col * tex[..., :3], col)
+
+
+def tri_light_hit_pdf(scene, prim, t, I, pick_pdf_of_light):
+    """Solid-angle pdf of having NEE-sampled the emissive triangle that a
+    BSDF ray just hit — for the MIS weight at emissive hits
+    (reference ShadeRef.cpp:1502-1537, uniform-area branch)."""
+    tvidx = scene.tri_vidx[jnp.maximum(prim, 0)]
+    p0 = scene.vertices[tvidx[:, 0]]
+    p1 = scene.vertices[tvidx[:, 1]]
+    p2 = scene.vertices[tvidx[:, 2]]
+    fwd = cross(p1 - p0, p2 - p0)
+    fwd_len = jnp.sqrt(jnp.maximum(dot(fwd, fwd, False), 1e-30))
+    tri_fwd = fwd / fwd_len[:, None]
+    area = 0.5 * fwd_len
+    cos_theta = jnp.abs(dot(I, tri_fwd, False))
+    pdf = safe_div_pos(t * t, area * jnp.maximum(cos_theta, 1e-9))
+    return pdf * pick_pdf_of_light

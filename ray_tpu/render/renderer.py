@@ -1,0 +1,136 @@
+"""Progressive renderer driver.
+
+Equivalent of the reference's ``RendererBase``/``Cpu::Renderer``
+(RendererBase.h:133-253, internal/RendererCPU.h:193): owns the accumulation
+buffers, advances one sample ("iteration") per ``render_sample`` call,
+maintains the incremental average (dual full/half buffers for variance-driven
+adaptive sampling, RendererCPU.h:607-658) and resolves tonemapped pixels.
+Progressive rendering *is* the checkpoint/resume model, exactly like the
+reference: state = {buffers, iteration}; ``clear()`` restarts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ray_tpu.render.integrator import PassSettings, render_tile
+from ray_tpu.render.tonemap import ViewTransform, apply_view_transform
+from ray_tpu.scene.camera import Camera, PixelFilter, build_filter_table
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Analogue of ``settings_t`` (RendererBase.h:52)."""
+
+    width: int = 256
+    height: int = 256
+
+
+@dataclasses.dataclass
+class RegionContext:
+    """Tile + progressive iteration state (RendererBase.h:78 RegionContext)."""
+
+    x: int = 0
+    y: int = 0
+    w: int = 0
+    h: int = 0
+    iteration: int = 0
+
+
+@partial(jax.jit, static_argnames=("width", "height", "settings", "use_filter_table"))
+def _render_sample_jit(
+    scene, cam, filter_table, iteration, rand_seed,
+    *, width, height, settings, use_filter_table,
+):
+    out = render_tile(
+        scene, cam, filter_table,
+        jnp.int32(0), jnp.int32(0), iteration, rand_seed,
+        width=width, height=height, tile_w=width, tile_h=height,
+        settings=settings, use_filter_table=use_filter_table,
+    )
+    return out
+
+
+@jax.jit
+def _accumulate(full_buf, half_buf, sample, iteration):
+    """Incremental average; odd samples also feed the half buffer
+    (RendererCPU.h:607-627) for the variance estimate."""
+    it_f = iteration.astype(jnp.float32)
+    mix = 1.0 / it_f
+    new_full = full_buf + (sample - full_buf) * mix
+    odd = (iteration % 2) == 1
+    half_it = jnp.ceil(it_f * 0.5)
+    new_half = jnp.where(
+        odd, half_buf + (sample - half_buf) / half_it, half_buf
+    )
+    return new_full, new_half
+
+
+class Renderer:
+    """Progressive path-tracing renderer over a finalized SceneFlat."""
+
+    def __init__(self, settings: RenderSettings, pass_settings: PassSettings = PassSettings()):
+        self.settings = settings
+        self.pass_settings = pass_settings
+        self.iteration = 0
+        w, h = settings.width, settings.height
+        self.full_buf = jnp.zeros((h * w, 3), jnp.float32)
+        self.half_buf = jnp.zeros((h * w, 3), jnp.float32)
+        self.aux_base = jnp.zeros((h * w, 3), jnp.float32)
+        self.aux_dn = jnp.zeros((h * w, 4), jnp.float32)
+        self.stats = {"time_primary_trace_us": 0.0, "time_shade_us": 0.0}
+
+    def clear(self):
+        self.iteration = 0
+        self.full_buf = jnp.zeros_like(self.full_buf)
+        self.half_buf = jnp.zeros_like(self.half_buf)
+
+    def render_sample(self, scene, cam: Camera, rand_seed: int = 0):
+        """Advance one progressive sample over the full frame."""
+        self.iteration += 1
+        table = jnp.asarray(
+            build_filter_table(cam.filter, cam.filter_width)
+        )
+        out = _render_sample_jit(
+            scene, cam, table,
+            jnp.uint32(self.iteration), jnp.uint32(rand_seed),
+            width=self.settings.width, height=self.settings.height,
+            settings=self.pass_settings,
+            use_filter_table=cam.filter != PixelFilter.BOX,
+        )
+        self.full_buf, self.half_buf = _accumulate(
+            self.full_buf, self.half_buf, out["color"], jnp.uint32(self.iteration)
+        )
+        it = self.iteration
+        self.aux_base = self.aux_base + (out["base_color"] - self.aux_base) / it
+        self.aux_dn = self.aux_dn + (out["depth_normal"] - self.aux_dn) / it
+        return out
+
+    def render(self, scene, cam: Camera, samples: int, rand_seed: int = 0):
+        for _ in range(samples):
+            self.render_sample(scene, cam, rand_seed)
+        return self.radiance_image()
+
+    def radiance_image(self) -> np.ndarray:
+        h, w = self.settings.height, self.settings.width
+        return np.asarray(self.full_buf).reshape(h, w, 3)
+
+    def pixels(self, cam: Optional[Camera] = None,
+               view_transform: int = ViewTransform.STANDARD) -> np.ndarray:
+        """Tonemapped 8-bit-comparable float image in [0,1]."""
+        exposure = float(cam.exposure) if cam is not None else 0.0
+        img = apply_view_transform(self.full_buf, view_transform, exposure)
+        h, w = self.settings.height, self.settings.width
+        return np.asarray(img).reshape(h, w, 3)
+
+    def variance_image(self) -> np.ndarray:
+        """Half-buffer based variance proxy (RendererCPU.h:629-658)."""
+        h, w = self.settings.height, self.settings.width
+        v = jnp.abs(self.full_buf - self.half_buf)
+        return np.asarray(v).reshape(h, w, 3)

@@ -1,0 +1,174 @@
+"""Hit → differentiable surface attributes + material resolution.
+
+Mirrors the first half of the reference's ``ShadeSurface``
+(internal/ShadeRef.cpp:1174-1420): barycentric interpolation of shading
+normal/UVs, geometric plane normal, backface flip + back-material select,
+radial tangent frame, Mix-node stochastic resolution and normal mapping —
+all recomputed from the live scene arrays so gradients flow to vertices,
+normals and textures ("attached evaluation" over the detached hit record).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ray_tpu.ops.linalg import (
+    cross,
+    dot,
+    normalize,
+    safe_div_pos,
+    safe_normalize,
+)
+from ray_tpu.render.bsdf.microfacet import fresnel_dielectric_cos
+from ray_tpu.scene.materials import MAT_FLAG_MIX_ADD, ShadingNode
+from ray_tpu.scene.textures import sample_bilinear
+
+MAX_MIX_DEPTH = 4  # Mix nodes may nest; resolution loop is unrolled this deep
+
+
+class Surface(NamedTuple):
+    """Analogue of the reference's ``surface_t`` (internal/CoreRef.h:108)."""
+
+    P: jnp.ndarray        # (R, 3) hit position
+    N: jnp.ndarray        # (R, 3) shading normal (flipped to front side)
+    plane_N: jnp.ndarray  # (R, 3) geometric normal (flipped)
+    T: jnp.ndarray        # (R, 3)
+    B: jnp.ndarray        # (R, 3)
+    uv: jnp.ndarray       # (R, 2)
+    backfacing: jnp.ndarray  # (R,) bool
+    tri_area: jnp.ndarray    # (R,) world-space triangle area
+
+
+def compute_surface(scene, prim, u, v, backface, ro, rd, t):
+    """Interpolate differentiable surface attributes for hit triangles."""
+    safe_prim = jnp.maximum(prim, 0)
+    vidx = scene.tri_vidx[safe_prim]          # (R, 3)
+    p0 = scene.vertices[vidx[:, 0]]
+    p1 = scene.vertices[vidx[:, 1]]
+    p2 = scene.vertices[vidx[:, 2]]
+    n0 = scene.normals[vidx[:, 0]]
+    n1 = scene.normals[vidx[:, 1]]
+    n2 = scene.normals[vidx[:, 2]]
+    uv0 = scene.uvs[vidx[:, 0]]
+    uv1 = scene.uvs[vidx[:, 1]]
+    uv2 = scene.uvs[vidx[:, 2]]
+
+    w = (1.0 - u - v)[:, None]
+    # position from barycentrics (differentiable w.r.t. vertices), matching
+    # the reference's ro + t*I only up to fp error but keeping the gradient
+    # path through geometry
+    P = w * p0 + u[:, None] * p1 + v[:, None] * p2
+    N = safe_normalize(w * n0 + u[:, None] * n1 + v[:, None] * n2)
+    uv = w * uv0 + u[:, None] * uv1 + v[:, None] * uv2
+
+    fwd = cross(p1 - p0, p2 - p0)
+    fwd_len = jnp.sqrt(jnp.maximum(dot(fwd, fwd, False), 1e-30))
+    plane_N = fwd / fwd_len[:, None]
+    tri_area = 0.5 * fwd_len
+
+    flip = backface[:, None]
+    N = jnp.where(flip, -N, N)
+    plane_N = jnp.where(flip, -plane_N, plane_N)
+
+    # radial tangent like the reference (ShadeRef.cpp:1358-1372): rotate the
+    # local position around Y; degenerate case falls back to the position
+    tangent = jnp.stack([-P[:, 2], jnp.zeros_like(P[:, 0]), P[:, 0]], axis=-1)
+    degenerate = dot(cross(tangent, N), cross(tangent, N), False) < 1e-20
+    tangent = jnp.where(degenerate[:, None], P, tangent)
+    B = safe_normalize(cross(tangent, N))
+    T = cross(N, B)
+
+    return Surface(P=P, N=N, plane_N=plane_N, T=T, B=B, uv=uv,
+                   backfacing=backface, tri_area=tri_area)
+
+
+def pick_hit_material(scene, prim, backface):
+    """Front/back material id per hit (reference tri_mat_data_t select,
+    ShadeRef.cpp:1256-1266). Returns -1 where no material applies."""
+    safe_prim = jnp.maximum(prim, 0)
+    front = scene.tri_mat[safe_prim, 0]
+    back = scene.tri_mat[safe_prim, 1]
+    return jnp.where(backface, back, front)
+
+
+def resolve_mix(scene, mat_id, uv, mix_rand, I, N, ext_ior, backfacing, tex_rand):
+    """Stochastically resolve Mix-node chains (ShadeRef.cpp:1303-1335).
+
+    Returns (leaf_mat_id, rescaled mix_rand, mix_weight).  Unrolled to
+    ``MAX_MIX_DEPTH``; non-Mix lanes pass through unchanged.
+    """
+    mats = scene.materials
+    mix_weight = jnp.ones_like(mix_rand)
+    for _ in range(MAX_MIX_DEPTH):
+        safe_id = jnp.maximum(mat_id, 0)
+        is_mix = (mats["type"][safe_id] == ShadingNode.MIX) & (mat_id >= 0)
+        mix_val = mats["strength"][safe_id]
+        base_tex = mats["base_texture"][safe_id]
+        tex = sample_bilinear(scene.textures, base_tex, uv)
+        mix_val = mix_val * jnp.where(base_tex >= 0, tex[:, 0], 1.0)
+        ior = mats["ior"][safe_id]
+        eta = jnp.where(
+            backfacing,
+            safe_div_pos(ext_ior, ior),
+            safe_div_pos(ior, ext_ior),
+        )
+        rr = jnp.where(
+            ior != 0.0,
+            fresnel_dielectric_cos(dot(I, N, False), eta),
+            1.0,
+        )
+        mix_val = mix_val * jnp.clip(rr, 0.0, 1.0)
+
+        mix_add = (mats["flags"][safe_id] & MAT_FLAG_MIX_ADD) != 0
+        take2 = mix_rand <= mix_val
+        new_id = jnp.where(
+            take2, mats["mix_mat2"][safe_id], mats["mix_mat1"][safe_id]
+        )
+        w_mult = jnp.where(
+            mix_add,
+            jnp.where(take2, safe_div_pos(1.0, mix_val), safe_div_pos(1.0, 1.0 - mix_val)),
+            1.0,
+        )
+        new_rand = jnp.where(
+            take2,
+            safe_div_pos(mix_rand, mix_val),
+            safe_div_pos(mix_rand - mix_val, 1.0 - mix_val),
+        )
+        mat_id = jnp.where(is_mix, new_id, mat_id)
+        mix_rand = jnp.where(is_mix, jnp.clip(new_rand, 0.0, 1.0), mix_rand)
+        mix_weight = jnp.where(is_mix, mix_weight * w_mult, mix_weight)
+    return mat_id, mix_rand, mix_weight
+
+
+def apply_normal_map(scene, mat_id, surf: Surface, I, tex_rand):
+    """Tangent-space normal mapping + Cycles' ensure_valid_reflection-lite
+    clamp (full iterative version: ShadeRef.cpp:252-352; we clamp the shading
+    normal so the reflection of -I stays above the geometric horizon)."""
+    mats = scene.materials
+    safe_id = jnp.maximum(mat_id, 0)
+    nm = mats["normal_map"][safe_id]
+    has = nm >= 0
+    tex = sample_bilinear(scene.textures, nm, surf.uv)
+    n_ts = tex[:, :3] * 2.0 - 1.0
+    n_ts = n_ts.at[:, 2].set(
+        jnp.sqrt(jnp.maximum(1.0 - n_ts[:, 0] ** 2 - n_ts[:, 1] ** 2, 0.0))
+    )
+    N_new = safe_normalize(
+        n_ts[:, 0:1] * surf.T + n_ts[:, 2:3] * surf.N + n_ts[:, 1:2] * surf.B
+    )
+    k = mats["normal_map_intensity"][safe_id][:, None]
+    N_new = safe_normalize(surf.N + (N_new - surf.N) * k)
+
+    # keep reflections valid: blend back toward geometric normal if the
+    # reflected view direction would dip below the surface
+    R = I - 2.0 * dot(surf.plane_N, I) * surf.plane_N  # unused directly; guard below
+    refl = I - 2.0 * dot(N_new, I) * N_new
+    bad = dot(surf.plane_N, refl, False) < 0.01 * jnp.abs(dot(surf.plane_N, I, False))
+    N_fixed = jnp.where(bad[:, None], surf.plane_N, N_new)
+
+    N_out = jnp.where(has[:, None], N_fixed, surf.N)
+    B = safe_normalize(cross(surf.T, N_out))
+    T = cross(N_out, B)
+    return surf._replace(N=N_out, B=B, T=T)

@@ -1,0 +1,414 @@
+"""The uber-BSDF: one superset parameter block evaluated for every hit.
+
+The reference dispatches per material type to Diffuse/Glossy/Refractive/
+Emissive/Principled node functions (internal/ShadeRef.cpp:1471-1649).  On a
+vector machine we fold all node types into the Principled superset once per
+hit: a node type simply pins the lobe weights/parameters
+(Diffuse → diffuse-only with Oren-Nayar, Glossy → specular-only with
+specular=0.5, Refractive → refraction-only with fresnel=0, Principled → the
+Cycles-style lobe weighting of ShadeRef.cpp:32-52), and evaluation is pure
+arithmetic + selects.  This removes all shading divergence and lets XLA fuse
+the entire shade stage.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ray_tpu.ops.linalg import dot, lum, safe_div_pos, saturate
+from ray_tpu.render.bsdf.microfacet import (
+    PI,
+    calc_alpha,
+    fresnel_dielectric_cos,
+)
+from ray_tpu.render.bsdf import lobes
+from ray_tpu.scene.materials import ShadingNode
+from ray_tpu.scene.textures import sample_bilinear
+
+# ray types (reference internal/Constants.inl:58-63)
+RAY_TYPE_CAMERA = 0
+RAY_TYPE_DIFFUSE = 1
+RAY_TYPE_SPECULAR = 2
+RAY_TYPE_REFR = 3
+RAY_TYPE_SHADOW = 4
+
+
+class UberParams(NamedTuple):
+    """Resolved, texture-applied shading parameters for a wavefront of hits."""
+
+    # lobe pick weights (normalized)
+    w_diffuse: jnp.ndarray
+    w_specular: jnp.ndarray
+    w_clearcoat: jnp.ndarray
+    w_refraction: jnp.ndarray
+    # diffuse
+    use_principled_diffuse: jnp.ndarray  # bool: Burley vs Oren-Nayar
+    base_color: jnp.ndarray              # (R,3)
+    sheen_color: jnp.ndarray             # (R,3)
+    roughness: jnp.ndarray
+    metallic: jnp.ndarray
+    transmission: jnp.ndarray
+    # specular
+    spec_col: jnp.ndarray                # (R,3)
+    spec_col_90: jnp.ndarray             # (R,3)
+    spec_alpha: jnp.ndarray              # (R,2)
+    spec_ior: jnp.ndarray
+    spec_F0: jnp.ndarray
+    # clearcoat
+    coat_roughness2: jnp.ndarray
+    coat_ior: jnp.ndarray
+    coat_F0: jnp.ndarray
+    # transmission
+    refr_spec_alpha: jnp.ndarray         # (R,2) reflection component alpha
+    trans_alpha: jnp.ndarray             # (R,2)
+    trans_eta: jnp.ndarray
+    trans_fresnel: jnp.ndarray
+    int_ior: jnp.ndarray
+    # emission / passthrough
+    emission: jnp.ndarray                # (R,3)
+    is_emissive: jnp.ndarray             # bool
+    is_transparent: jnp.ndarray          # bool
+    imp_sample: jnp.ndarray              # bool: emissive geo is NEE-sampled
+
+
+def _spec_ior_from_specular(specular):
+    return (2.0 / (1.0 - jnp.sqrt(0.08 * specular))) - 1.0
+
+
+def gather_uber_params(scene, mat_id, uv, I, N, backfacing, ext_ior, tex_rand,
+                       regularize_alpha=0.0):
+    """Gather material columns for each hit and resolve node-type semantics
+    into the uber parameter block (reference ShadeRef.cpp:1419-1649)."""
+    m = scene.materials
+    i = jnp.maximum(mat_id, 0)
+    mtype = m["type"][i]
+
+    base_color = m["base_color"][i]
+    base_tex = m["base_texture"][i]
+    tex = sample_bilinear(scene.textures, base_tex, uv)
+    base_color = base_color * jnp.where((base_tex >= 0)[:, None], tex[:, :3], 1.0)
+
+    roughness = m["roughness"][i]
+    rough_tex = m["roughness_texture"][i]
+    rtex = sample_bilinear(scene.textures, rough_tex, uv)
+    roughness = roughness * jnp.where(rough_tex >= 0, rtex[:, 0], 1.0)
+
+    metallic = m["metallic"][i]
+    met_tex = m["metallic_texture"][i]
+    mtex = sample_bilinear(scene.textures, met_tex, uv)
+    metallic = metallic * jnp.where(met_tex >= 0, mtex[:, 0], 1.0)
+
+    specular = m["specular"][i]
+    spec_tex = m["specular_texture"][i]
+    stex = sample_bilinear(scene.textures, spec_tex, uv)
+    specular = specular * jnp.where(spec_tex >= 0, stex[:, 0], 1.0)
+
+    anisotropic = m["anisotropic"][i]
+    specular_tint = m["specular_tint"][i]
+    transmission = m["transmission"][i]
+    transmission_roughness = m["transmission_roughness"][i]
+    clearcoat = m["clearcoat"][i]
+    clearcoat_roughness = m["clearcoat_roughness"][i]
+    sheen = 2.0 * m["sheen"][i]
+    sheen_tint = m["sheen_tint"][i]
+    mat_ior = m["ior"][i]
+
+    base_color_lum = lum(base_color)
+    tint_color = jnp.where(
+        (base_color_lum > 0.0)[:, None],
+        base_color / jnp.maximum(base_color_lum, 1e-12)[:, None],
+        0.0,
+    )
+
+    is_principled = mtype == ShadingNode.PRINCIPLED
+    is_diffuse_node = mtype == ShadingNode.DIFFUSE
+    is_glossy = mtype == ShadingNode.GLOSSY
+    is_refractive = mtype == ShadingNode.REFRACTIVE
+    is_emissive = mtype == ShadingNode.EMISSIVE
+    is_transparent = mtype == ShadingNode.TRANSPARENT
+
+    # ---- principled parameter derivation (ShadeRef.cpp:1556-1640) ----
+    sheen_color = sheen[:, None] * (
+        (1.0 - sheen_tint)[:, None] + sheen_tint[:, None] * tint_color
+    )
+    p_spec_col = (1.0 - specular_tint)[:, None] + specular_tint[:, None] * tint_color
+    p_spec_col = (
+        (1.0 - metallic)[:, None] * (specular[:, None] * 0.08 * p_spec_col)
+        + metallic[:, None] * base_color
+    )
+    p_spec_ior = _spec_ior_from_specular(specular)
+    p_spec_F0 = fresnel_dielectric_cos(jnp.ones_like(p_spec_ior), p_spec_ior)
+
+    coat_ior = _spec_ior_from_specular(clearcoat)
+    coat_F0 = fresnel_dielectric_cos(jnp.ones_like(coat_ior), coat_ior)
+
+    trans_roughness = 1.0 - (1.0 - roughness) * (1.0 - transmission_roughness)
+    trans_eta = jnp.where(
+        backfacing, safe_div_pos(mat_ior, ext_ior), safe_div_pos(ext_ior, mat_ior)
+    )
+    trans_fresnel = fresnel_dielectric_cos(
+        dot(I, N, False), safe_div_pos(jnp.ones_like(trans_eta), trans_eta)
+    )
+
+    # approx spec color lum with Fresnel toward white (ShadeRef.cpp:1629-1633)
+    FN = (fresnel_dielectric_cos(dot(I, N, False), p_spec_ior) - p_spec_F0) / (
+        jnp.maximum(1.0 - p_spec_F0, 1e-6)
+    )
+    approx_spec_col = p_spec_col + FN[:, None] * (1.0 - p_spec_col)
+    spec_color_lum = lum(approx_spec_col)
+
+    # Cycles-style lobe weights (ShadeRef.cpp:32-52)
+    bcl = base_color_lum + sheen * (1.0 - base_color_lum)
+    w_d = bcl * (1.0 - metallic) * (1.0 - transmission)
+    final_trans = transmission * (1.0 - metallic)
+    w_s = jnp.where(
+        (specular != 0.0) | (metallic != 0.0), spec_color_lum * (1.0 - final_trans), 0.0
+    )
+    w_c = 0.25 * clearcoat * (1.0 - metallic)
+    w_r = final_trans * bcl
+    total = w_d + w_s + w_c + w_r
+    inv_total = jnp.where(total > 0.0, 1.0 / jnp.maximum(total, 1e-12), 0.0)
+    w_d, w_s, w_c, w_r = (w * inv_total for w in (w_d, w_s, w_c, w_r))
+
+    # ---- node-type overrides ----
+    one = jnp.ones_like(w_d)
+    zero = jnp.zeros_like(w_d)
+    w_diffuse = jnp.where(is_principled, w_d, jnp.where(is_diffuse_node, one, zero))
+    w_specular = jnp.where(is_principled, w_s, jnp.where(is_glossy, one, zero))
+    w_clearcoat = jnp.where(is_principled, w_c, zero)
+    w_refraction = jnp.where(is_principled, w_r, jnp.where(is_refractive, one, zero))
+
+    g_spec_ior = jnp.full_like(p_spec_ior, _spec_ior_from_specular(0.5))
+    g_spec_F0 = fresnel_dielectric_cos(jnp.ones_like(g_spec_ior), g_spec_ior)
+    spec_ior = jnp.where(is_principled, p_spec_ior, g_spec_ior)
+    spec_F0 = jnp.where(is_principled, p_spec_F0, g_spec_F0)
+    spec_col = jnp.where(is_principled[:, None], p_spec_col, base_color)
+    spec_col_90 = jnp.where(
+        is_principled[:, None], jnp.ones_like(base_color), base_color
+    )
+    spec_alpha = calc_alpha(roughness, anisotropic, regularize_alpha)
+    refr_spec_alpha = calc_alpha(roughness, jnp.zeros_like(roughness), regularize_alpha)
+    trans_alpha = jnp.where(
+        is_principled[:, None],
+        calc_alpha(trans_roughness, jnp.zeros_like(roughness), regularize_alpha),
+        calc_alpha(roughness, jnp.zeros_like(roughness), regularize_alpha),
+    )
+    # Refractive node always transmits: fresnel pick prob 0
+    trans_fresnel = jnp.where(is_principled, trans_fresnel, 0.0)
+    eta = jnp.where(
+        backfacing, safe_div_pos(mat_ior, ext_ior), safe_div_pos(ext_ior, mat_ior)
+    )
+
+    strength = m["strength"][i]
+    emis_strength = m["emission_strength"][i]
+    emission = jnp.where(
+        is_emissive[:, None],
+        base_color * strength[:, None],
+        m["emission_color"][i] * emis_strength[:, None],
+    )
+    from ray_tpu.scene.materials import MAT_FLAG_IMP_SAMPLE
+
+    imp = (m["flags"][i] & MAT_FLAG_IMP_SAMPLE) != 0
+
+    return UberParams(
+        w_diffuse=w_diffuse,
+        w_specular=w_specular,
+        w_clearcoat=w_clearcoat,
+        w_refraction=w_refraction,
+        use_principled_diffuse=is_principled,
+        base_color=base_color,
+        sheen_color=jnp.where(is_principled[:, None], sheen_color, 0.0),
+        roughness=roughness,
+        metallic=jnp.where(is_principled, metallic, 0.0),
+        transmission=jnp.where(is_principled, transmission, 0.0),
+        spec_col=spec_col,
+        spec_col_90=spec_col_90,
+        spec_alpha=spec_alpha,
+        spec_ior=spec_ior,
+        spec_F0=spec_F0,
+        coat_roughness2=calc_alpha(
+            clearcoat_roughness, jnp.zeros_like(roughness), regularize_alpha
+        )[:, 0],
+        coat_ior=coat_ior,
+        coat_F0=coat_F0,
+        refr_spec_alpha=refr_spec_alpha,
+        trans_alpha=trans_alpha,
+        trans_eta=eta,
+        trans_fresnel=trans_fresnel,
+        int_ior=mat_ior,
+        emission=emission,
+        is_emissive=is_emissive,
+        is_transparent=is_transparent,
+        imp_sample=imp,
+    )
+
+
+def eval_uber(p: UberParams, T, B, N, I, L):
+    """Mixture f_cos + pdf for NEE (reference Evaluate_PrincipledNode,
+    ShadeRef.cpp:811-903, generalized to all node types)."""
+    n_dot_l = dot(N, L, False)
+    f_total = jnp.zeros_like(p.base_color)
+    pdf_total = jnp.zeros_like(n_dot_l)
+
+    # diffuse
+    f_or, pdf_or = lobes.eval_oren_diffuse(-I, N, L, p.roughness, p.base_color)
+    f_pr, pdf_pr = lobes.eval_principled_diffuse(
+        -I, N, L, p.roughness, p.base_color, p.sheen_color
+    )
+    f_dif = jnp.where(p.use_principled_diffuse[:, None], f_pr, f_or)
+    pdf_dif = jnp.where(p.use_principled_diffuse, pdf_pr, pdf_or)
+    f_dif = f_dif * ((1.0 - p.metallic) * (1.0 - p.transmission))[:, None]
+    on = (p.w_diffuse > 0.0) & (n_dot_l > 0.0)
+    f_total += jnp.where(on[:, None], f_dif, 0.0)
+    pdf_total += jnp.where(on, p.w_diffuse * pdf_dif, 0.0)
+
+    # main specular
+    f_sp, pdf_sp = lobes.eval_ggx_specular(
+        T, B, N, I, L, p.spec_alpha, p.spec_ior, p.spec_F0, p.spec_col, p.spec_col_90
+    )
+    on = (p.w_specular > 0.0) & (n_dot_l > 0.0)
+    f_total += jnp.where(on[:, None], f_sp, 0.0)
+    pdf_total += jnp.where(on, p.w_specular * pdf_sp, 0.0)
+
+    # clearcoat
+    f_cc, pdf_cc = lobes.eval_clearcoat(
+        T, B, N, I, L, p.coat_roughness2, p.coat_ior, p.coat_F0
+    )
+    on = (p.w_clearcoat > 0.0) & (n_dot_l > 0.0)
+    f_total += jnp.where(on[:, None], 0.25 * f_cc[:, None], 0.0)
+    pdf_total += jnp.where(on, p.w_clearcoat * pdf_cc, 0.0)
+
+    # refraction: reflective component
+    white = jnp.ones_like(p.base_color)
+    f_rr, pdf_rr = lobes.eval_ggx_specular(
+        T, B, N, I, L, p.refr_spec_alpha,
+        jnp.ones_like(p.spec_ior), jnp.zeros_like(p.spec_F0), white, white,
+    )
+    on = (p.w_refraction > 0.0) & (p.trans_fresnel != 0.0) & (n_dot_l > 0.0)
+    f_total += jnp.where(on[:, None], f_rr * p.trans_fresnel[:, None], 0.0)
+    pdf_total += jnp.where(on, p.w_refraction * p.trans_fresnel * pdf_rr, 0.0)
+
+    # refraction: transmissive component
+    f_rt, pdf_rt = lobes.eval_ggx_refraction(
+        T, B, N, I, L, p.trans_alpha, p.trans_eta, p.base_color
+    )
+    on = (p.w_refraction > 0.0) & (p.trans_fresnel != 1.0) & (n_dot_l < 0.0)
+    f_total += jnp.where(on[:, None], f_rt * (1.0 - p.trans_fresnel)[:, None], 0.0)
+    pdf_total += jnp.where(on, p.w_refraction * (1.0 - p.trans_fresnel) * pdf_rt, 0.0)
+
+    return f_total, pdf_total
+
+
+class BsdfSample(NamedTuple):
+    dir: jnp.ndarray          # (R, 3)
+    weight: jnp.ndarray       # (R, 3) throughput multiplier f_cos/(pdf·P)
+    pdf: jnp.ndarray          # (R,) pdf for next-hit MIS
+    ray_type: jnp.ndarray     # (R,) i32
+    flip_origin: jnp.ndarray  # (R,) bool — offset origin along -plane_N
+
+
+def sample_uber(p: UberParams, T, B, N, I, rand2, mix_rand):
+    """Pick one lobe by ``mix_rand`` against the normalized lobe weights and
+    sample it (reference Sample_PrincipledNode, ShadeRef.cpp:905-1035)."""
+    cdf_d = p.w_diffuse
+    cdf_s = cdf_d + p.w_specular
+    cdf_c = cdf_s + p.w_clearcoat
+
+    pick_d = mix_rand < cdf_d
+    pick_s = (~pick_d) & (mix_rand < cdf_s)
+    pick_c = (~pick_d) & (~pick_s) & (mix_rand < cdf_c)
+    pick_r = (~pick_d) & (~pick_s) & (~pick_c) & (p.w_refraction > 0.0)
+
+    # --- diffuse ---
+    dir_u = lobes.sample_uniform_hemisphere(T, B, N, rand2)
+    dir_c = lobes.sample_cosine_hemisphere(T, B, N, rand2)
+    dir_dif = jnp.where(p.use_principled_diffuse[:, None], dir_c, dir_u)
+    f_or, pdf_or = lobes.eval_oren_diffuse(-I, N, dir_dif, p.roughness, p.base_color)
+    f_pr, pdf_pr = lobes.eval_principled_diffuse(
+        -I, N, dir_dif, p.roughness, p.base_color, p.sheen_color
+    )
+    f_dif = jnp.where(p.use_principled_diffuse[:, None], f_pr, f_or)
+    pdf_dif = jnp.where(p.use_principled_diffuse, pdf_pr, pdf_or)
+    f_dif = f_dif * ((1.0 - p.metallic) * (1.0 - p.transmission))[:, None]
+    w_dif = f_dif * safe_div_pos(1.0, pdf_dif * jnp.maximum(p.w_diffuse, 1e-9))[:, None]
+    pdf_dif_out = pdf_dif * p.w_diffuse
+
+    # --- specular ---
+    dir_sp, f_sp, pdf_sp = lobes.sample_ggx_specular(
+        T, B, N, I, p.spec_alpha, p.spec_ior, p.spec_F0, p.spec_col, p.spec_col_90, rand2
+    )
+    w_sp = f_sp * safe_div_pos(1.0, pdf_sp * jnp.maximum(p.w_specular, 1e-9))[:, None]
+    pdf_sp_out = pdf_sp * p.w_specular
+
+    # --- clearcoat ---
+    dir_cc, f_cc, pdf_cc = lobes.sample_clearcoat(
+        T, B, N, I, p.coat_roughness2, p.coat_ior, p.coat_F0, rand2
+    )
+    w_cc = (0.25 * f_cc * safe_div_pos(1.0, pdf_cc * jnp.maximum(p.w_clearcoat, 1e-9)))[
+        :, None
+    ] * jnp.ones_like(p.base_color)
+    pdf_cc_out = pdf_cc * p.w_clearcoat
+
+    # --- refraction branch: inner split reflect vs refract by fresnel ---
+    r_inner = saturate(
+        safe_div_pos(mix_rand - cdf_c, jnp.maximum(p.w_refraction, 1e-9))
+    )
+    pick_rr = pick_r & (r_inner < p.trans_fresnel)   # reflect
+    white = jnp.ones_like(p.base_color)
+    dir_rr, f_rr, pdf_rr = lobes.sample_ggx_specular(
+        T, B, N, I, p.refr_spec_alpha,
+        jnp.ones_like(p.spec_ior), jnp.zeros_like(p.spec_F0), white, white, rand2,
+    )
+    dir_rt, f_rt, pdf_rt = lobes.sample_ggx_refraction(
+        T, B, N, I, p.trans_alpha, p.trans_eta, p.base_color, rand2
+    )
+    dir_refr = jnp.where(pick_rr[:, None], dir_rr, dir_rt)
+    f_refr = jnp.where(pick_rr[:, None], f_rr, f_rt)
+    pdf_refr = jnp.where(pick_rr, pdf_rr, pdf_rt)
+    w_refr = f_refr * safe_div_pos(
+        1.0, pdf_refr * jnp.maximum(p.w_refraction, 1e-9)
+    )[:, None]
+    pdf_refr_out = pdf_refr * p.w_refraction
+
+    # --- select ---
+    def sel(va, vb, vc, vd):
+        return jnp.where(
+            pick_d[..., None] if va.ndim == 2 else pick_d, va,
+            jnp.where(
+                pick_s[..., None] if va.ndim == 2 else pick_s, vb,
+                jnp.where(pick_c[..., None] if va.ndim == 2 else pick_c, vc, vd),
+            ),
+        )
+
+    out_dir = sel(dir_dif, dir_sp, dir_cc, dir_refr)
+    out_w = sel(w_dif, w_sp, w_cc, w_refr)
+    out_pdf = sel(pdf_dif_out, pdf_sp_out, pdf_cc_out, pdf_refr_out)
+    ray_type = jnp.where(
+        pick_d, RAY_TYPE_DIFFUSE,
+        jnp.where(
+            pick_s | pick_c | pick_rr, RAY_TYPE_SPECULAR,
+            jnp.where(pick_r, RAY_TYPE_REFR, 0),
+        ),
+    ).astype(jnp.int32)
+    flip_origin = pick_r & (~pick_rr)
+
+    # transparent node: pass straight through
+    out_dir = jnp.where(p.is_transparent[:, None], I, out_dir)
+    out_w = jnp.where(p.is_transparent[:, None], 1.0, out_w)
+    out_pdf = jnp.where(p.is_transparent, lobes.DELTA_PDF, out_pdf)
+    ray_type = jnp.where(p.is_transparent, 5, ray_type)  # 5 = transparency
+    flip_origin = flip_origin | p.is_transparent
+
+    # emissive / no-lobe: dead sample
+    dead = p.is_emissive | (
+        (~pick_d) & (~pick_s) & (~pick_c) & (~pick_r) & (~p.is_transparent)
+    )
+    out_w = jnp.where(dead[:, None], 0.0, out_w)
+    out_pdf = jnp.where(dead, 0.0, out_pdf)
+
+    return BsdfSample(
+        dir=out_dir, weight=out_w, pdf=out_pdf, ray_type=ray_type,
+        flip_origin=flip_origin,
+    )

@@ -1,0 +1,289 @@
+"""Scene container + finalize ("scene compile").
+
+Imperative build API like the reference's ``SceneBase``
+(SceneBase.h:371-516: AddTexture/AddMaterial/AddMesh/AddLight/
+AddMeshInstance/SetEnvironment/Finalize) — but finalize emits a
+:class:`SceneFlat`: one frozen pytree of dense arrays, the TPU-native
+analogue of the reference's ``scene_data_t`` pointer bundle
+(internal/Core.h:511).  Handles, freelists and sparse storages from the
+reference (internal/SparseStorageCPU.h, internal/FreelistAlloc.cpp) have no
+reason to exist here: scenes are compiled host-side in numpy and frozen.
+
+Round-1 simplification: instances are flattened — vertices are transformed
+to world space at finalize and a single world-space BVH is built (the
+reference's two-level TLAS/BLAS, SceneCPU.cpp:928, becomes worthwhile once
+instancing-heavy scenes land; tracked in docs/ROADMAP.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ray_tpu.scene.bvh import build_bvh2, tri_bounds
+from ray_tpu.scene.camera import Camera
+from ray_tpu.scene.lights import LightDesc, LightType, pack_lights
+from ray_tpu.scene.materials import (
+    MAT_FLAG_IMP_SAMPLE,
+    MaterialDesc,
+    ShadingNode,
+    pack_materials,
+)
+from ray_tpu.scene.textures import TexturePacker
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneFlat:
+    """Frozen, device-ready scene: every field is a dense array (or dict of
+    dense arrays).  This is the single argument every render kernel takes."""
+
+    # geometry (world space)
+    vertices: Any        # (V, 3) f32
+    normals: Any         # (V, 3) f32 shading normals
+    uvs: Any             # (V, 2) f32
+    tri_vidx: Any        # (T, 3) i32, in BVH leaf order
+    tri_mat: Any         # (T, 2) i32 front/back material ids (-1 = none)
+    tri_light: Any       # (T,) i32 light id for emissive tris (-1 = none)
+    # acceleration structure
+    bvh_child_lo: Any    # (N, 2, 3) f32
+    bvh_child_hi: Any    # (N, 2, 3) f32
+    bvh_child: Any       # (N, 2) i32
+    root_lo: Any         # (3,) f32
+    root_hi: Any         # (3,) f32
+    # tables
+    materials: Any       # dict of SoA columns (differentiable leaves)
+    lights: Any          # dict of SoA columns
+    textures: Any        # dict: flat texel buffer + records
+    # environment
+    env_col: Any         # (3,) f32 multiplier/color
+    env_map: Any         # () i32 texture id (-1 = constant color)
+    env_rotation: Any    # () f32 y-rotation, radians
+    # static metadata
+    max_leaf: int = dataclasses.field(metadata=dict(static=True))
+    num_lights: int = dataclasses.field(metadata=dict(static=True))
+    env_light_index: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_tris(self) -> int:
+        return int(self.tri_vidx.shape[0])
+
+
+@dataclasses.dataclass
+class _Mesh:
+    vertices: np.ndarray
+    normals: np.ndarray
+    uvs: np.ndarray
+    indices: np.ndarray
+    tri_mat: np.ndarray  # (T,2) front/back material ids
+
+
+class Scene:
+    """Mutable scene builder."""
+
+    def __init__(self):
+        self._textures = TexturePacker()
+        self._materials: list[MaterialDesc] = []
+        self._meshes: list[_Mesh] = []
+        self._instances: list[tuple[int, Optional[np.ndarray]]] = []
+        self._lights: list[LightDesc] = []
+        self.env_col = np.array([0.0, 0.0, 0.0], np.float32)
+        self.env_map = -1
+        self.env_rotation = 0.0
+        self.camera: Optional[Camera] = None
+
+    # -- resources ---------------------------------------------------------
+    def add_texture(self, image, srgb: bool = False, generate_mips: bool = True) -> int:
+        return self._textures.add(image, srgb=srgb, generate_mips=generate_mips)
+
+    def add_material(self, desc: MaterialDesc) -> int:
+        self._materials.append(desc)
+        return len(self._materials) - 1
+
+    def add_mesh(
+        self,
+        vertices,
+        indices,
+        normals=None,
+        uvs=None,
+        material: int = 0,
+        back_material: Optional[int] = None,
+        tri_materials=None,
+    ) -> int:
+        """Add an indexed triangle mesh.
+
+        ``tri_materials``: optional (T, 2) per-triangle front/back material
+        ids (the analogue of the reference's material groups,
+        SceneBase.h:99 ``mat_group_desc_t``).
+        """
+        v = np.asarray(vertices, np.float32).reshape(-1, 3)
+        idx = np.asarray(indices, np.int32).reshape(-1, 3)
+        if normals is None:
+            normals = compute_vertex_normals(v, idx)
+        n = np.asarray(normals, np.float32).reshape(-1, 3)
+        if uvs is None:
+            uvs = np.zeros((v.shape[0], 2), np.float32)
+        uv = np.asarray(uvs, np.float32).reshape(-1, 2)
+        if tri_materials is not None:
+            tm = np.asarray(tri_materials, np.int32).reshape(-1, 2)
+        else:
+            bm = material if back_material is None else back_material
+            tm = np.tile(
+                np.array([[material, bm]], np.int32), (idx.shape[0], 1)
+            )
+        assert tm.shape[0] == idx.shape[0]
+        self._meshes.append(_Mesh(v, n, uv, idx, tm))
+        return len(self._meshes) - 1
+
+    def add_instance(self, mesh: int, xform=None) -> int:
+        xf = None if xform is None else np.asarray(xform, np.float32).reshape(4, 4)
+        self._instances.append((mesh, xf))
+        return len(self._instances) - 1
+
+    def add_light(self, desc: LightDesc) -> int:
+        self._lights.append(desc)
+        return len(self._lights) - 1
+
+    def set_environment(self, color=(0, 0, 0), map_id: int = -1, rotation: float = 0.0):
+        self.env_col = np.asarray(color, np.float32)
+        self.env_map = int(map_id)
+        self.env_rotation = float(rotation)
+
+    def set_camera(self, cam: Camera):
+        self.camera = cam
+
+    # -- finalize ----------------------------------------------------------
+    def finalize(self, max_leaf: int = 4) -> SceneFlat:
+        """Compile to a SceneFlat (the analogue of Scene::Finalize,
+        SceneCPU.cpp:882: env light registration + BVH + light table)."""
+        if not self._instances:
+            for m in range(len(self._meshes)):
+                self._instances.append((m, None))
+
+        verts, norms, uvs, tris, tri_mat = [], [], [], [], []
+        voffset = 0
+        for mesh_id, xf in self._instances:
+            m = self._meshes[mesh_id]
+            v, n = m.vertices, m.normals
+            if xf is not None:
+                r = xf[:3, :3]
+                t = xf[:3, 3]
+                v = v @ r.T + t
+                n_mat = np.linalg.inv(r).T
+                n = n @ n_mat.T
+                n = n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+            verts.append(v.astype(np.float32))
+            norms.append(n.astype(np.float32))
+            uvs.append(m.uvs)
+            tris.append(m.indices + voffset)
+            tri_mat.append(m.tri_mat)
+            voffset += v.shape[0]
+
+        vertices = np.concatenate(verts) if verts else np.zeros((3, 3), np.float32)
+        normals = np.concatenate(norms) if norms else np.zeros((3, 3), np.float32)
+        uv = np.concatenate(uvs) if uvs else np.zeros((3, 2), np.float32)
+        tri_vidx = (
+            np.concatenate(tris) if tris else np.array([[0, 1, 2]], np.int32)
+        )
+        tri_mats = (
+            np.concatenate(tri_mat) if tri_mat else np.full((1, 2), -1, np.int32)
+        )
+
+        # BVH over world-space triangles; permute tri arrays to leaf order so
+        # the traversal kernel indexes them directly (no extra indirection).
+        lo, hi = tri_bounds(vertices, tri_vidx)
+        bvh = build_bvh2(lo, hi, max_leaf=max_leaf)
+        perm = bvh.prim_indices
+        tri_vidx = tri_vidx[perm]
+        tri_mats = tri_mats[perm]
+
+        # emissive triangles with importance_sample → TRI lights
+        # (the reference registers these during Finalize; SceneCPU.cpp:1214)
+        light_descs = list(self._lights)
+        tri_areas = {}
+        tri_light = np.full(tri_vidx.shape[0], -1, np.int32)
+        mats = self._materials if self._materials else [MaterialDesc()]
+        for t in range(tri_vidx.shape[0]):
+            mat_id = tri_mats[t, 0]
+            if mat_id < 0 or mat_id >= len(mats):
+                continue
+            d = mats[mat_id]
+            emissive = d.type == ShadingNode.EMISSIVE or (
+                d.type == ShadingNode.PRINCIPLED
+                and max(d.emission_color) * d.emission_strength > 0.0
+            )
+            if not (emissive and d.importance_sample):
+                continue
+            p = vertices[tri_vidx[t]]
+            area = 0.5 * np.linalg.norm(
+                np.cross(p[1] - p[0], p[2] - p[0])
+            )
+            if d.type == ShadingNode.EMISSIVE:
+                col = np.asarray(d.base_color) * d.strength
+            else:
+                col = np.asarray(d.emission_color) * d.emission_strength
+            li = len(light_descs)
+            light_descs.append(
+                LightDesc(
+                    type=LightType.TRI,
+                    color=tuple(col),
+                    tri_index=int(t),
+                    doublesided=d.two_sided,
+                )
+            )
+            tri_areas[li] = float(area)
+            tri_light[t] = li
+
+        # implicit environment light when the env contributes
+        # (reference SceneCPU.cpp:908-921)
+        env_light_index = -1
+        if float(np.max(self.env_col)) > 0.0 or self.env_map >= 0:
+            env_light_index = len(light_descs)
+            light_descs.append(
+                LightDesc(type=LightType.ENV, color=tuple(self.env_col))
+            )
+
+        materials = pack_materials(self._materials)
+        lights = pack_lights(light_descs, tri_areas)
+        textures = self._textures.pack()
+
+        dev = jax.tree_util.tree_map(jnp.asarray, {
+            "vertices": vertices,
+            "normals": normals,
+            "uvs": uv,
+            "tri_vidx": tri_vidx,
+            "tri_mat": tri_mats,
+            "tri_light": tri_light,
+            "bvh_child_lo": bvh.child_lo,
+            "bvh_child_hi": bvh.child_hi,
+            "bvh_child": bvh.child,
+            "root_lo": bvh.root_lo,
+            "root_hi": bvh.root_hi,
+            "materials": materials,
+            "lights": lights,
+            "textures": textures,
+            "env_col": self.env_col,
+            "env_map": np.int32(self.env_map),
+            "env_rotation": np.float32(self.env_rotation),
+        })
+        return SceneFlat(
+            **dev,
+            max_leaf=max_leaf,
+            num_lights=len(light_descs),
+            env_light_index=env_light_index,
+        )
+
+
+def compute_vertex_normals(vertices: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Area-weighted smooth vertex normals."""
+    p = vertices[indices]
+    fn = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+    out = np.zeros_like(vertices)
+    for k in range(3):
+        np.add.at(out, indices[:, k], fn)
+    norm = np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
+    return (out / norm).astype(np.float32)
