@@ -3,11 +3,12 @@
 One call renders one sample (one "iteration") of one tile: primary rays →
 [trace → shade(NEE + BSDF sample) → shadow-trace] × bounces → per-pixel
 radiance + AUX.  This is the reference's RenderScene pipeline
-(internal/RendererCPU.h:374-571 / RendererVK.cpp:368-740) with the stage
-loop *unrolled under one jit*: every stage is full-wavefront vectorized with
-active-lane masks, dead lanes simply idle (the TPU trade; coherence work —
-ray sorting — slots in between bounces later without changing this
-structure).
+(internal/RendererCPU.h:374-571 / RendererVK.cpp:368-740) with the bounce
+loop expressed as a ``lax.scan`` under one jit: the loop body (trace, shade,
+NEE, shadow, sample) compiles exactly once regardless of path depth, every
+stage is full-wavefront vectorized with active-lane masks, and dead lanes
+idle (the TPU trade; coherence work — ray sorting — slots in between bounces
+later without changing this structure).
 
 Differentiability: BVH hits are detached; everything downstream (surface
 interpolation, BSDF math, light math, env lookups) is attached, so
@@ -19,8 +20,6 @@ RR) use detached comparisons — the standard "detached sampling" estimator.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -29,15 +28,14 @@ from ray_tpu.ops import rng
 from ray_tpu.ops.linalg import (
     MAX_DIST,
     dot,
-    lum,
     offset_ray,
+    power_heuristic,
     safe_div_pos,
 )
 from ray_tpu.ops.traverse import trace_closest, trace_occlusion
 from ray_tpu.render import light_sampling, surface as surface_mod, uber
-from ray_tpu.render.raygen import generate_primary_rays
 from ray_tpu.render.bsdf.microfacet import PI
-from ray_tpu.ops.linalg import power_heuristic
+from ray_tpu.render.raygen import generate_primary_rays
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,10 +57,11 @@ class PassSettings:
 
 
 def _clamp_contribution(col, limit):
-    if limit <= 0.0:
-        return col
+    """Per-contribution energy clamp; ``limit`` may be traced (<=0 → off)."""
     s = jnp.sum(col, axis=-1, keepdims=True)
-    scale = jnp.where(s > limit, limit / jnp.maximum(s, 1e-12), 1.0)
+    scale = jnp.where(
+        (limit > 0.0) & (s > limit), limit / jnp.maximum(s, 1e-12), 1.0
+    )
     return col * scale
 
 
@@ -134,38 +133,30 @@ def render_tile(
     seed = rng.pixel_seed(rays.px, rays.py, rand_seed)
     sample_i = jnp.asarray(iteration, jnp.uint32) - 1
 
-    ro = rays.ro
-    rd = rays.rd
-    t_max = rays.t_max
-    throughput = jnp.ones((R, 3), jnp.float32)
-    bsdf_pdf = jnp.full((R,), 1e6, jnp.float32)  # camera rays: delta
-    active = jnp.ones((R,), jnp.bool_)
-    # depth counters: diff, spec, refr, transp
-    depth = jnp.zeros((R, 4), jnp.int32)
-    ior_stack = jnp.full((R, 4), -1.0, jnp.float32)
-
-    accum = jnp.zeros((R, 3), jnp.float32)
-    aux_base = jnp.zeros((R, 3), jnp.float32)
-    aux_dn = jnp.zeros((R, 4), jnp.float32)
-
     env_light_pick_pdf = (
         scene.lights["pick_pdf"][scene.env_light_index]
         if scene.env_light_index >= 0
         else jnp.float32(0.0)
     )
     have_lights = scene.num_lights > 0
+    tri_iota = jnp.arange(scene.tri_vidx.shape[0], dtype=jnp.int32)
 
-    n_iters = settings.max_total_depth + 1
-    for bounce in range(n_iters):
+    def bounce_step(state, bounce):
+        (ro, rd, t_max, throughput, bsdf_pdf, active, depth, ior_stack,
+         accum, aux_base, aux_dn) = state
+        is_first = bounce == 0
+        limit0 = jnp.where(
+            is_first, settings.clamp_direct, settings.clamp_indirect
+        )
+
         hit = trace_closest(
             scene.bvh_child_lo, scene.bvh_child_hi, scene.bvh_child,
-            jnp.arange(scene.tri_vidx.shape[0], dtype=jnp.int32),
-            scene.vertices, scene.tri_vidx,
+            tri_iota, scene.vertices, scene.tri_vidx,
             ro, rd, jnp.zeros((R,), jnp.float32), t_max, active,
             max_leaf=scene.max_leaf,
         )
         miss = hit.prim < 0
-        total_depth = depth[:, 0] + depth[:, 1] + depth[:, 2]  # w/o transparency
+        total_depth = depth[:, 0] + depth[:, 1] + depth[:, 2]
         indirect = total_depth > 0
         rand_dim = jnp.uint32(rng.RAND_DIM_BASE_COUNT) + (
             (total_depth + depth[:, 3]).astype(jnp.uint32)
@@ -181,9 +172,7 @@ def render_tile(
                 can_mis, power_heuristic(bsdf_pdf, light_pdf), 1.0
             )
             env_col = env_col * mis_w[:, None]
-        env_contrib = throughput * env_col
-        limit0 = settings.clamp_direct if bounce == 0 else settings.clamp_indirect
-        env_contrib = _clamp_contribution(env_contrib, limit0)
+        env_contrib = _clamp_contribution(throughput * env_col, limit0)
         accum = accum + jnp.where((active & miss)[:, None], env_contrib, 0.0)
 
         alive = active & (~miss)
@@ -193,8 +182,7 @@ def render_tile(
             scene, hit.prim, hit.u, hit.v, hit.backface, ro, rd, hit.t
         )
         mat_id = surface_mod.pick_hit_material(scene, hit.prim, hit.backface)
-        no_mat = mat_id < 0
-        alive = alive & (~no_mat)
+        alive = alive & (mat_id >= 0)
 
         tex_rx, tex_ry = rng.scrambled_2d_rand(
             rand_dim + jnp.uint32(rng.RAND_DIM_TEX), seed, sample_i
@@ -206,15 +194,17 @@ def render_tile(
 
         ext_ior = _peek_ior(ior_stack, hit.backface)
         mat_id, mix_rand, mix_weight = surface_mod.resolve_mix(
-            scene, mat_id, surf.uv, mix_rx, rd, surf.N, ext_ior, hit.backface, tex_rand
+            scene, mat_id, surf.uv, mix_rx, rd, surf.N, ext_ior, hit.backface,
+            tex_rand,
         )
         surf = surface_mod.apply_normal_map(scene, mat_id, surf, rd, tex_rand)
 
+        reg_alpha = jnp.where(
+            is_first, 0.0, jnp.float32(settings.regularize_alpha)
+        )
         params = uber.gather_uber_params(
-            scene, mat_id, surf.uv, rd, surf.N, hit.backface, ext_ior, tex_rand,
-            regularize_alpha=(
-                settings.regularize_alpha if bounce > 0 else 0.0
-            ),
+            scene, mat_id, surf.uv, rd, surf.N, hit.backface, ext_ior,
+            tex_rand, regularize_alpha=reg_alpha,
         )
 
         # ---------- emissive hit (ShadeRef.cpp:1502-1539) ----------
@@ -228,22 +218,26 @@ def render_tile(
             light_pdf = light_sampling.tri_light_hit_pdf(
                 scene, hit.prim, hit.t, rd, lpick
             )
-            needs_mis = indirect & params.imp_sample & (lid >= 0)
+            # MIS only where NEE could actually have sampled this hit: the
+            # light's front side, or any side if doublesided
+            nee_covers = (~hit.backface) | scene.lights["doublesided"][
+                jnp.maximum(lid, 0)
+            ]
+            needs_mis = indirect & params.imp_sample & (lid >= 0) & nee_covers
             mis_w = jnp.where(
                 needs_mis, power_heuristic(bsdf_pdf, light_pdf), 1.0
             )
-        emis_contrib = throughput * params.emission * (mix_weight * mis_w)[:, None]
-        emis_contrib = _clamp_contribution(emis_contrib, limit0)
+        emis_contrib = _clamp_contribution(
+            throughput * params.emission * (mix_weight * mis_w)[:, None], limit0
+        )
         accum = accum + jnp.where(emis_mask[:, None], emis_contrib, 0.0)
 
         # AUX from primary hit
-        if bounce == 0:
-            aux_base = jnp.where(alive[:, None], params.base_color, aux_base)
-            aux_dn = jnp.where(
-                alive[:, None],
-                jnp.concatenate([surf.N, hit.t[:, None]], axis=-1),
-                aux_dn,
-            )
+        take_aux = (is_first & alive)[:, None]
+        aux_base = jnp.where(take_aux, params.base_color, aux_base)
+        aux_dn = jnp.where(
+            take_aux, jnp.concatenate([surf.N, hit.t[:, None]], axis=-1), aux_dn
+        )
 
         can_shade = alive & (~params.is_emissive) & (~params.is_transparent)
 
@@ -259,7 +253,9 @@ def render_tile(
                 scene, surf.P, surf.T, surf.B, surf.N, pick_r,
                 jnp.stack([luv_x, luv_y], axis=-1),
             )
-            f_cos, pdf_b = uber.eval_uber(params, surf.T, surf.B, surf.N, rd, ls.L)
+            f_cos, pdf_b = uber.eval_uber(
+                params, surf.T, surf.B, surf.N, rd, ls.L
+            )
             can_mis = total_depth < settings.max_total_depth
             nee_mis = jnp.where(
                 (ls.area > 0.0) & can_mis, power_heuristic(ls.pdf, pdf_b), 1.0
@@ -270,10 +266,10 @@ def render_tile(
             nee_valid = can_shade & (ls.pdf > 0.0) & (
                 jnp.max(nee_col, axis=-1) > 0.0
             )
-            # shadow ray from biased origin toward biased light point
             n_dot_l = dot(surf.N, ls.L, False)
             sh_o = offset_ray(
-                surf.P, jnp.where((n_dot_l < 0.0)[:, None], -surf.plane_N, surf.plane_N)
+                surf.P,
+                jnp.where((n_dot_l < 0.0)[:, None], -surf.plane_N, surf.plane_N),
             )
             to_lp = ls.lp - sh_o
             sh_dist = jnp.sqrt(jnp.maximum(dot(to_lp, to_lp, False), 1e-30))
@@ -281,24 +277,15 @@ def render_tile(
             sh_dist = sh_dist * ls.dist_mul
             occluded = trace_occlusion(
                 scene.bvh_child_lo, scene.bvh_child_hi, scene.bvh_child,
-                jnp.arange(scene.tri_vidx.shape[0], dtype=jnp.int32),
-                scene.vertices, scene.tri_vidx,
-                sh_o, sh_d,
-                jnp.zeros((R,), jnp.float32),
-                sh_dist * 0.999,
-                nee_valid & ls.cast_shadow,
-                max_leaf=scene.max_leaf,
+                tri_iota, scene.vertices, scene.tri_vidx,
+                sh_o, sh_d, jnp.zeros((R,), jnp.float32), sh_dist * 0.999,
+                nee_valid & ls.cast_shadow, max_leaf=scene.max_leaf,
             )
             visible = nee_valid & ((~ls.cast_shadow) | (~occluded))
-            sh_contrib = _clamp_contribution(
-                throughput * nee_col, settings.clamp_indirect if bounce > 0 else settings.clamp_direct
-            )
+            sh_contrib = _clamp_contribution(throughput * nee_col, limit0)
             accum = accum + jnp.where(visible[:, None], sh_contrib, 0.0)
 
         # ---------- BSDF sampling / next bounce ----------
-        if bounce == n_iters - 1:
-            break
-
         brx, bry = rng.scrambled_2d_rand(
             rand_dim + jnp.uint32(rng.RAND_DIM_BSDF), seed, sample_i
         )
@@ -307,7 +294,6 @@ def render_tile(
             jnp.stack([brx, bry], axis=-1), mix_rand,
         )
 
-        # depth caps (Sample_PrincipledNode guards, ShadeRef.cpp:918-1020)
         is_diff = bs.ray_type == uber.RAY_TYPE_DIFFUSE
         is_spec = bs.ray_type == uber.RAY_TYPE_SPECULAR
         is_refr = bs.ray_type == uber.RAY_TYPE_REFR
@@ -317,17 +303,15 @@ def render_tile(
             | (is_spec & (depth[:, 1] < settings.max_spec_depth))
             | (is_refr & (depth[:, 2] < settings.max_refr_depth))
             | (is_transp & (depth[:, 3] < settings.max_transp_depth))
-        ) & jnp.where(
-            is_transp, True, total_depth < settings.max_total_depth
-        )
+        ) & jnp.where(is_transp, True, total_depth < settings.max_total_depth)
 
         new_throughput = throughput * bs.weight * mix_weight[:, None]
         tlum = jnp.max(new_throughput, axis=-1)
 
         # Russian roulette (ShadeRef.cpp:1604-1618)
-        can_term = settings.use_path_termination & True
         rr_q = jnp.where(
-            (total_depth + depth[:, 3]) > settings.min_total_depth,
+            settings.use_path_termination
+            & ((total_depth + depth[:, 3]) > settings.min_total_depth),
             jnp.maximum(0.05, 1.0 - tlum),
             0.0,
         )
@@ -335,32 +319,50 @@ def render_tile(
         new_throughput = new_throughput * safe_div_pos(1.0, 1.0 - rr_q)[:, None]
 
         next_active = (
-            can_shade
-            & (alive if not settings.use_nee else can_shade)
-            & depth_ok
-            & rr_pass
-            & (tlum > 0.0)
-            & (bs.pdf > 0.0)
+            can_shade & depth_ok & rr_pass & (tlum > 0.0) & (bs.pdf > 0.0)
         )
 
-        # ior stack update on refraction events
         entering = next_active & is_refr & (~hit.backface)
         exiting = next_active & is_refr & hit.backface
         ior_stack = _push_ior(ior_stack, params.int_ior, entering)
         ior_stack = _pop_ior(ior_stack, exiting)
 
         new_o = offset_ray(
-            surf.P, jnp.where(bs.flip_origin[:, None], -surf.plane_N, surf.plane_N)
+            surf.P,
+            jnp.where(bs.flip_origin[:, None], -surf.plane_N, surf.plane_N),
         )
         ro = jnp.where(next_active[:, None], new_o, ro)
         rd = jnp.where(next_active[:, None], bs.dir, rd)
-        throughput = jnp.where(next_active[:, None], new_throughput, throughput)
+        throughput = jnp.where(
+            next_active[:, None], new_throughput, throughput
+        )
         bsdf_pdf = jnp.where(next_active, jnp.minimum(bs.pdf, 1e6), bsdf_pdf)
         t_max = jnp.full((R,), MAX_DIST, jnp.float32)
         depth_inc = jnp.stack(
             [is_diff, is_spec, is_refr, is_transp], axis=-1
         ).astype(jnp.int32)
         depth = depth + jnp.where(next_active[:, None], depth_inc, 0)
-        active = next_active
 
+        new_state = (ro, rd, t_max, throughput, bsdf_pdf, next_active, depth,
+                     ior_stack, accum, aux_base, aux_dn)
+        return new_state, None
+
+    state0 = (
+        rays.ro,
+        rays.rd,
+        rays.t_max,
+        jnp.ones((R, 3), jnp.float32),              # throughput
+        jnp.full((R,), 1e6, jnp.float32),           # camera rays: delta pdf
+        jnp.ones((R,), jnp.bool_),                  # active
+        jnp.zeros((R, 4), jnp.int32),               # depth counters
+        jnp.full((R, 4), -1.0, jnp.float32),        # ior stack
+        jnp.zeros((R, 3), jnp.float32),             # accum
+        jnp.zeros((R, 3), jnp.float32),             # aux base color
+        jnp.zeros((R, 4), jnp.float32),             # aux depth-normal
+    )
+    n_iters = settings.max_total_depth + 1
+    state, _ = jax.lax.scan(
+        bounce_step, state0, jnp.arange(n_iters, dtype=jnp.int32)
+    )
+    accum, aux_base, aux_dn = state[8], state[9], state[10]
     return {"color": accum, "base_color": aux_base, "depth_normal": aux_dn}

@@ -290,8 +290,10 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
     env_ts = jnp.stack([de * cpe, de * spe, r1], axis=-1)
     env_L = world_from_tangent(T, B, N, env_ts)
     is_env = ltype == LightType.ENV
+    # the ENV light's table color is only used for pick-CDF weighting; actual
+    # radiance comes from env_color (constant × map) to avoid double counting
     env_col_mult = env_color(scene, env_L)
-    out_col = jnp.where(is_env[:, None], out_col * env_col_mult, out_col)
+    out_col = jnp.where(is_env[:, None], env_col_mult, out_col)
     out_L = jnp.where(is_env[:, None], env_L, out_L)
     out_lp = jnp.where(is_env[:, None], P + env_L, out_lp)
     out_pdf = jnp.where(is_env, 0.5 / PI, out_pdf)

@@ -99,8 +99,16 @@ def pack_lights(descs: list, tri_areas=None) -> dict:
         "type": np.array([d.type for d in descs], np.int32),
         "col": np.array([d.color for d in descs], np.float32),
         "pos": np.array([d.position for d in descs], np.float32),
+        # DIR lights store the direction *toward* the light (negated user
+        # direction, like the reference: SceneCPU.cpp:597); spot directions
+        # stay as given (they point along the beam)
         "dir": np.array(
-            [np.asarray(d.direction, np.float64) / max(np.linalg.norm(d.direction), 1e-12) for d in descs],
+            [
+                (-1.0 if d.type == LightType.DIR else 1.0)
+                * np.asarray(d.direction, np.float64)
+                / max(np.linalg.norm(d.direction), 1e-12)
+                for d in descs
+            ],
             np.float32,
         ),
         "radius": np.array([d.radius for d in descs], np.float32),

@@ -1,0 +1,114 @@
+"""End-to-end render validation.
+
+Strategy (mirrors the reference's golden-test philosophy, SURVEY.md §4, with
+analytic rather than file-based goldens for phase 1):
+
+* furnace tests — a convex diffuse body in a constant environment must
+  reflect exactly albedo × env (validates BSDF normalization, NEE, MIS and
+  env sampling *jointly*);
+* estimator-consistency — NEE on vs off must converge to the same image
+  (validates MIS weights and light pdfs);
+* determinism — same seed → bit-identical image (the property path-replay
+  backprop depends on).
+"""
+
+import numpy as np
+import pytest
+
+from ray_tpu.render.integrator import PassSettings
+from ray_tpu.render.renderer import Renderer, RenderSettings
+from ray_tpu.scene.materials import MaterialDesc, ShadingNode
+from ray_tpu.utils.test_scenes import cornell_scene, furnace_scene
+
+RES = 32
+
+
+def _render(scene_flat, cam, spp, depth=3, use_nee=True, res=RES):
+    r = Renderer(
+        RenderSettings(res, res),
+        PassSettings(
+            max_total_depth=depth, min_total_depth=depth, use_nee=use_nee
+        ),
+    )
+    return r.render(scene_flat, cam, spp)
+
+
+@pytest.fixture(scope="module")
+def furnace_white():
+    sc, cam = furnace_scene(
+        MaterialDesc(type=ShadingNode.DIFFUSE, base_color=(1, 1, 1), roughness=0.0)
+    )
+    return sc.finalize(), cam
+
+
+def test_furnace_white_sphere(furnace_white):
+    flat, cam = furnace_white
+    img = _render(flat, cam, spp=16)
+    # center of image = sphere; convex diffuse body: L = albedo * env = 1
+    center = img[RES // 2 - 4 : RES // 2 + 4, RES // 2 - 4 : RES // 2 + 4]
+    assert abs(center.mean() - 1.0) < 0.03, center.mean()
+    # background = env = 1
+    assert abs(img[:3, :3].mean() - 1.0) < 1e-5
+
+
+def test_furnace_albedo_scaling():
+    sc, cam = furnace_scene(
+        MaterialDesc(type=ShadingNode.DIFFUSE, base_color=(0.5, 0.25, 0.75), roughness=0.0)
+    )
+    flat = sc.finalize()
+    img = _render(flat, cam, spp=16)
+    center = img[RES // 2 - 4 : RES // 2 + 4, RES // 2 - 4 : RES // 2 + 4]
+    got = center.mean(axis=(0, 1))
+    np.testing.assert_allclose(got, [0.5, 0.25, 0.75], atol=0.04)
+
+
+def test_furnace_oren_rough():
+    # Oren-Nayar with sigma>0 still (approximately) conserves energy
+    sc, cam = furnace_scene(
+        MaterialDesc(type=ShadingNode.DIFFUSE, base_color=(1, 1, 1), roughness=0.5)
+    )
+    flat = sc.finalize()
+    img = _render(flat, cam, spp=16)
+    center = img[RES // 2 - 4 : RES // 2 + 4, RES // 2 - 4 : RES // 2 + 4]
+    # the Fujii-style Oren-Nayar the reference uses (ShadeRef.cpp:403) loses
+    # ~12% directional albedo at sigma=0.5 — same behavior here
+    assert 0.82 < center.mean() < 1.05, center.mean()
+
+
+def test_nee_consistency_cornell():
+    sc, cam = cornell_scene("emissive_quad")
+    flat = sc.finalize()
+    a = _render(flat, cam, spp=48, depth=3, use_nee=True)
+    b = _render(flat, cam, spp=192, depth=3, use_nee=False)
+    # means converge to the same energy
+    rel = abs(a.mean() - b.mean()) / max(a.mean(), 1e-9)
+    assert rel < 0.05, (a.mean(), b.mean())
+
+
+def test_determinism_same_seed():
+    sc, cam = cornell_scene("emissive_quad")
+    flat = sc.finalize()
+    a = _render(flat, cam, spp=2)
+    b = _render(flat, cam, spp=2)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_different_iterations_differ():
+    sc, cam = cornell_scene("emissive_quad")
+    flat = sc.finalize()
+    r = Renderer(
+        RenderSettings(RES, RES),
+        PassSettings(max_total_depth=3, min_total_depth=3),
+    )
+    s1 = np.asarray(r.render_sample(flat, cam)["color"]).copy()
+    s2 = np.asarray(r.render_sample(flat, cam)["color"])
+    assert not np.array_equal(s1, s2)
+
+
+def test_analytic_lights_illuminate():
+    for kind in ["rect", "sphere", "dir"]:
+        sc, cam = cornell_scene(kind)
+        flat = sc.finalize()
+        img = _render(flat, cam, spp=8)
+        assert img.mean() > 0.01, kind
+        assert np.isfinite(img).all(), kind
