@@ -4,13 +4,19 @@ This replaces the reference's per-ray recursive-stack traversal
 (internal/CoreRef.cpp:1890-2740 ``Traverse_TLAS/BLAS_WithStack_*``) with a
 TPU-native formulation: *all* rays advance one traversal step per iteration
 of a single ``lax.while_loop``, each holding a private stack in a fixed
-``[R, STACK]`` array.  A step pops one stack entry; internal entries test the
+``[STACK, R]`` array.  A step pops one stack entry; internal entries test the
 two child AABBs stored in the parent slot (pure VPU math on gathered node
-records) and push the hit children near-first, leaf entries intersect their
+columns) and push the hit children near-first, leaf entries intersect their
 ``≤ max_leaf`` triangles as one fixed-size vectorized block.  Divergence
 costs idle lanes rather than scalar branches — the standard trade on a
-vector machine — and is bounded by sorting rays between bounces
-(ray_tpu.render sort stage, mirroring internal/CoreRef.cpp:1667 SortRays).
+vector machine.
+
+Layout discipline (the thing that makes this fast on TPU): every per-ray
+quantity in the loop is a 1-D ``(R,)`` array and the stack is ``(S, R)`` —
+R rides the 128-lane axis with zero padding.  ``(R, 3)`` vectors inside the
+loop would tile as (8, 128) with the 3 padded to 128: a 42× HBM blowup
+measured at 1080p wavefronts.  Scene-side node/triangle data comes in as the
+1-D column dicts built by ``scene.bvh.pack_bvh_soa``/``pack_tri_soa``.
 
 Gradients: traversal is a pure *discrete* decision procedure; we return
 indices/barycentrics with integer types or through ``stop_gradient`` and let
@@ -26,8 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ray_tpu.ops.intersect import intersect_aabb, intersect_tri
-from ray_tpu.ops.linalg import safe_invert
+from ray_tpu.ops.intersect import HIT_EPS
 from ray_tpu.scene.bvh import LEAF_COUNT_BITS, LEAF_COUNT_MASK, MAX_STACK_SIZE
 
 
@@ -36,7 +41,7 @@ class Hit(NamedTuple):
     (reference internal/CoreRef.h:89)."""
 
     t: jnp.ndarray          # f32, distance (t_max if miss)
-    prim: jnp.ndarray       # i32, triangle index into scene order (-1 = miss)
+    prim: jnp.ndarray       # i32, triangle index in leaf order (-1 = miss)
     u: jnp.ndarray          # f32 barycentric of vertex 1
     v: jnp.ndarray          # f32 barycentric of vertex 2
     backface: jnp.ndarray   # bool
@@ -47,40 +52,65 @@ def _decode_leaf(code):
     return v >> LEAF_COUNT_BITS, v & LEAF_COUNT_MASK
 
 
-@partial(jax.jit, static_argnames=("max_leaf",))
-def trace_closest(
-    nodes_child_lo,
-    nodes_child_hi,
-    nodes_child,
-    prim_indices,
-    vertices,
-    tri_vidx,
-    ro,
-    rd,
-    t_min,
-    t_max,
-    active,
-    max_leaf: int = 4,
-):
-    """Closest-hit trace of R rays against one flattened BVH2.
+def _safe_inv(v):
+    tiny = jnp.where(v >= 0.0, jnp.float32(1e-7), jnp.float32(-1e-7))
+    return 1.0 / jnp.where(jnp.abs(v) > 1e-7, v, tiny)
 
-    Args:
-      nodes_child_lo/hi: (N, 2, 3) f32 children bounds per slot.
-      nodes_child: (N, 2) i32 child codes.
-      prim_indices: (T,) i32 leaf-order permutation of triangles.
-      vertices: (V, 3) f32; tri_vidx: (T, 3) i32.
-      ro, rd: (R, 3) f32 origins/directions.
-      t_min, t_max: (R,) f32 ray interval.
-      active: (R,) bool — dead rays never traverse.
 
-    Returns a :class:`Hit`.
-    """
+def _aabb_c(ox, oy, oz, ix, iy, iz, lox, loy, loz, hix, hiy, hiz, t_min, t_max):
+    """Slab test, all-1-D. Returns (hit, t_near)."""
+    tx0 = (lox - ox) * ix
+    tx1 = (hix - ox) * ix
+    ty0 = (loy - oy) * iy
+    ty1 = (hiy - oy) * iy
+    tz0 = (loz - oz) * iz
+    tz1 = (hiz - oz) * iz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+        jnp.maximum(jnp.minimum(tz0, tz1), t_min),
+    )
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+        jnp.minimum(jnp.maximum(tz0, tz1), t_max),
+    )
+    return tn <= tf * 1.00000024, tn
+
+
+def _tri_c(ox, oy, oz, dx, dy, dz, p0x, p0y, p0z, p1x, p1y, p1z,
+           p2x, p2y, p2z, t_min, t_max):
+    """Möller–Trumbore, all-1-D. Returns (hit, t, u, v, backface)."""
+    e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
+    e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    valid_det = jnp.abs(det) > HIT_EPS
+    inv_det = 1.0 / jnp.where(valid_det, det, 1.0)
+    tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    hit = (
+        valid_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > t_min) & (t < t_max)
+    )
+    return hit, t, u, v, det < 0.0
+
+
+def _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf, stack_size,
+              any_hit):
     R = ro.shape[0]
     rows = jnp.arange(R, dtype=jnp.int32)
-    inv_d = safe_invert(rd)
+    ox, oy, oz = ro[:, 0], ro[:, 1], ro[:, 2]
+    dx, dy, dz = rd[:, 0], rd[:, 1], rd[:, 2]
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
 
-    stack0 = jnp.zeros((R, MAX_STACK_SIZE), jnp.int32)
-    sp0 = jnp.where(active, 1, 0).astype(jnp.int32)  # entry 0 = root slot code 0
+    stack0 = jnp.zeros((stack_size, R), jnp.int32)
+    sp0 = jnp.where(active, 1, 0).astype(jnp.int32)  # entry 0 = root slot 0
 
     hit0 = Hit(
         t=jnp.asarray(t_max, jnp.float32),
@@ -98,7 +128,7 @@ def trace_closest(
         stack, sp, hit = state
         act = sp > 0
         top = jnp.maximum(sp - 1, 0)
-        code = jnp.take_along_axis(stack, top[:, None], axis=1)[:, 0]
+        code = stack[top, rows]
         sp = jnp.where(act, sp - 1, sp)
 
         is_node = act & (code >= 0)
@@ -106,23 +136,32 @@ def trace_closest(
         node = jnp.where(is_node, code, 0)
 
         # ---- internal: test both children, push hit children near-first ----
-        c_lo = nodes_child_lo[node]          # (R, 2, 3)
-        c_hi = nodes_child_hi[node]
-        c_code = nodes_child[node]           # (R, 2)
-        h0, t0 = intersect_aabb(ro, inv_d, c_lo[:, 0], c_hi[:, 0], t_min, hit.t)
-        h1, t1 = intersect_aabb(ro, inv_d, c_lo[:, 1], c_hi[:, 1], t_min, hit.t)
+        h0, t0 = _aabb_c(
+            ox, oy, oz, ix, iy, iz,
+            bvh["lo0x"][node], bvh["lo0y"][node], bvh["lo0z"][node],
+            bvh["hi0x"][node], bvh["hi0y"][node], bvh["hi0z"][node],
+            t_min, hit.t,
+        )
+        h1, t1 = _aabb_c(
+            ox, oy, oz, ix, iy, iz,
+            bvh["lo1x"][node], bvh["lo1y"][node], bvh["lo1z"][node],
+            bvh["hi1x"][node], bvh["hi1y"][node], bvh["hi1z"][node],
+            t_min, hit.t,
+        )
+        c0 = bvh["code0"][node]
+        c1 = bvh["code1"][node]
         near_is_0 = t0 <= t1
-        near_code = jnp.where(near_is_0, c_code[:, 0], c_code[:, 1])
-        far_code = jnp.where(near_is_0, c_code[:, 1], c_code[:, 0])
+        near_code = jnp.where(near_is_0, c0, c1)
+        far_code = jnp.where(near_is_0, c1, c0)
         near_hit = jnp.where(near_is_0, h0, h1) & is_node
         far_hit = jnp.where(near_is_0, h1, h0) & is_node
 
         # push far first so near pops first; masked scatter via OOB drop
-        far_slot = jnp.where(far_hit, sp, MAX_STACK_SIZE)
-        stack = stack.at[rows, far_slot].set(far_code, mode="drop")
+        far_slot = jnp.where(far_hit, sp, stack_size)
+        stack = stack.at[far_slot, rows].set(far_code, mode="drop")
         sp = sp + far_hit.astype(jnp.int32)
-        near_slot = jnp.where(near_hit, sp, MAX_STACK_SIZE)
-        stack = stack.at[rows, near_slot].set(near_code, mode="drop")
+        near_slot = jnp.where(near_hit, sp, stack_size)
+        stack = stack.at[near_slot, rows].set(near_code, mode="drop")
         sp = sp + near_hit.astype(jnp.int32)
 
         # ---- leaf: fixed-size vectorized block of triangle tests ----
@@ -132,13 +171,14 @@ def trace_closest(
         )
         for k in range(max_leaf):
             valid = is_leaf & (k < count)
-            slot = jnp.where(valid, first + k, 0)
-            tri = prim_indices[slot]                       # (R,)
-            vidx = tri_vidx[tri]                           # (R, 3)
-            p0 = vertices[vidx[:, 0]]
-            p1 = vertices[vidx[:, 1]]
-            p2 = vertices[vidx[:, 2]]
-            th, tt, tu, tv, tb = intersect_tri(ro, rd, p0, p1, p2, t_min, t_best)
+            tri = jnp.where(valid, first + k, 0)
+            th, tt, tu, tv, tb = _tri_c(
+                ox, oy, oz, dx, dy, dz,
+                tris["p0x"][tri], tris["p0y"][tri], tris["p0z"][tri],
+                tris["p1x"][tri], tris["p1y"][tri], tris["p1z"][tri],
+                tris["p2x"][tri], tris["p2y"][tri], tris["p2z"][tri],
+                t_min, t_best if not any_hit else t_max,
+            )
             take = th & valid
             t_best = jnp.where(take, tt, t_best)
             prim_best = jnp.where(take, tri, prim_best)
@@ -146,10 +186,30 @@ def trace_closest(
             v_best = jnp.where(take, tv, v_best)
             bf_best = jnp.where(take, tb, bf_best)
 
-        new_hit = Hit(t=t_best, prim=prim_best, u=u_best, v=v_best, backface=bf_best)
+        if any_hit:
+            # early-out per ray: any hit clears the stack
+            sp = jnp.where(prim_best >= 0, 0, sp)
+
+        new_hit = Hit(t=t_best, prim=prim_best, u=u_best, v=v_best,
+                      backface=bf_best)
         return stack, sp, new_hit
 
     _, _, hit = jax.lax.while_loop(cond, body, (stack0, sp0, hit0))
+    return hit
+
+
+@partial(jax.jit, static_argnames=("max_leaf", "stack_size"))
+def trace_closest_soa(bvh, tris, ro, rd, t_min, t_max, active,
+                      max_leaf: int = 4, stack_size: int = MAX_STACK_SIZE):
+    """Closest-hit trace against SoA-packed BVH + triangle columns.
+
+    Args:
+      bvh: dict of (N,) columns from ``pack_bvh_soa``.
+      tris: dict of (T,) columns from ``pack_tri_soa`` (leaf order).
+      ro, rd: (R, 3) f32; t_min, t_max: (R,) f32; active: (R,) bool.
+    """
+    hit = _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf,
+                    stack_size, any_hit=False)
     return Hit(
         t=jax.lax.stop_gradient(hit.t),
         prim=hit.prim,
@@ -159,91 +219,72 @@ def trace_closest(
     )
 
 
-@partial(jax.jit, static_argnames=("max_leaf",))
-def trace_occlusion(
-    nodes_child_lo,
-    nodes_child_hi,
-    nodes_child,
-    prim_indices,
-    vertices,
-    tri_vidx,
-    ro,
-    rd,
-    t_min,
-    t_max,
-    active,
-    max_leaf: int = 4,
-):
+@partial(jax.jit, static_argnames=("max_leaf", "stack_size"))
+def trace_occlusion_soa(bvh, tris, ro, rd, t_min, t_max, active,
+                        max_leaf: int = 4, stack_size: int = MAX_STACK_SIZE):
     """Any-hit (shadow) trace: returns (R,) bool ``occluded``.
 
-    Early-out per ray: as soon as a hit is found the ray's stack is cleared,
-    mirroring the reference's AnyHit traversal (internal/CoreRef.cpp:2135).
-    Alpha-tested/transparent occluders are handled a level up (shade stage)
-    once transparency lands; this kernel treats every triangle as solid.
+    Early-out per ray mirroring the reference's AnyHit traversal
+    (internal/CoreRef.cpp:2135).  Alpha-tested/transparent occluders are
+    handled a level up (shade stage); this kernel treats triangles as solid.
     """
-    R = ro.shape[0]
-    rows = jnp.arange(R, dtype=jnp.int32)
-    inv_d = safe_invert(rd)
+    hit = _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf,
+                    stack_size, any_hit=True)
+    return hit.prim >= 0
 
-    stack0 = jnp.zeros((R, MAX_STACK_SIZE), jnp.int32)
-    sp0 = jnp.where(active, 1, 0).astype(jnp.int32)
-    occ0 = jnp.zeros((R,), jnp.bool_)
 
-    def cond(state):
-        _, sp, _ = state
-        return jnp.any(sp > 0)
+# --------------------------------------------------------------------------
+# Convenience wrappers over (vertices, tri_vidx) inputs — used by tests.
+# --------------------------------------------------------------------------
 
-    def body(state):
-        stack, sp, occ = state
-        act = sp > 0
-        top = jnp.maximum(sp - 1, 0)
-        code = jnp.take_along_axis(stack, top[:, None], axis=1)[:, 0]
-        sp = jnp.where(act, sp - 1, sp)
+def _soa_from_arrays(nodes_child_lo, nodes_child_hi, nodes_child,
+                     prim_indices, vertices, tri_vidx):
+    bvh = {}
+    for side in range(2):
+        for axis, ax in enumerate("xyz"):
+            bvh[f"lo{side}{ax}"] = nodes_child_lo[:, side, axis]
+            bvh[f"hi{side}{ax}"] = nodes_child_hi[:, side, axis]
+        bvh[f"code{side}"] = nodes_child[:, side]
+    tris_leaf = vertices[tri_vidx[prim_indices]]  # (T, 3, 3) leaf order
+    tris = {}
+    for v in range(3):
+        for axis, ax in enumerate("xyz"):
+            tris[f"p{v}{ax}"] = tris_leaf[:, v, axis]
+    return bvh, tris
 
-        is_node = act & (code >= 0)
-        is_leaf = act & (code < 0)
-        node = jnp.where(is_node, code, 0)
 
-        c_lo = nodes_child_lo[node]
-        c_hi = nodes_child_hi[node]
-        c_code = nodes_child[node]
-        h0, _ = intersect_aabb(ro, inv_d, c_lo[:, 0], c_hi[:, 0], t_min, t_max)
-        h1, _ = intersect_aabb(ro, inv_d, c_lo[:, 1], c_hi[:, 1], t_min, t_max)
-        h0 = h0 & is_node
-        h1 = h1 & is_node
+def trace_closest(nodes_child_lo, nodes_child_hi, nodes_child, prim_indices,
+                  vertices, tri_vidx, ro, rd, t_min, t_max, active,
+                  max_leaf: int = 4, stack_size: int = MAX_STACK_SIZE):
+    """Array-of-structs wrapper; hit.prim is in *leaf order* — callers using
+    original triangle ids should map through ``prim_indices``."""
+    bvh, tris = _soa_from_arrays(
+        nodes_child_lo, nodes_child_hi, nodes_child, prim_indices,
+        vertices, tri_vidx,
+    )
+    hit = trace_closest_soa(bvh, tris, ro, rd, t_min, t_max, active,
+                            max_leaf=max_leaf, stack_size=stack_size)
+    orig = prim_indices[jnp.maximum(hit.prim, 0)]
+    return hit._replace(prim=jnp.where(hit.prim >= 0, orig, -1))
 
-        slot0 = jnp.where(h0, sp, MAX_STACK_SIZE)
-        stack = stack.at[rows, slot0].set(c_code[:, 0], mode="drop")
-        sp = sp + h0.astype(jnp.int32)
-        slot1 = jnp.where(h1, sp, MAX_STACK_SIZE)
-        stack = stack.at[rows, slot1].set(c_code[:, 1], mode="drop")
-        sp = sp + h1.astype(jnp.int32)
 
-        first, count = _decode_leaf(jnp.where(is_leaf, code, -1))
-        found = jnp.zeros((R,), jnp.bool_)
-        for k in range(max_leaf):
-            valid = is_leaf & (k < count)
-            slot = jnp.where(valid, first + k, 0)
-            tri = prim_indices[slot]
-            vidx = tri_vidx[tri]
-            p0 = vertices[vidx[:, 0]]
-            p1 = vertices[vidx[:, 1]]
-            p2 = vertices[vidx[:, 2]]
-            th, _, _, _, _ = intersect_tri(ro, rd, p0, p1, p2, t_min, t_max)
-            found = found | (th & valid)
-
-        occ = occ | found
-        sp = jnp.where(found, 0, sp)  # early-out: clear this ray's stack
-        return stack, sp, occ
-
-    _, _, occ = jax.lax.while_loop(cond, body, (stack0, sp0, occ0))
-    return occ
+def trace_occlusion(nodes_child_lo, nodes_child_hi, nodes_child, prim_indices,
+                    vertices, tri_vidx, ro, rd, t_min, t_max, active,
+                    max_leaf: int = 4, stack_size: int = MAX_STACK_SIZE):
+    bvh, tris = _soa_from_arrays(
+        nodes_child_lo, nodes_child_hi, nodes_child, prim_indices,
+        vertices, tri_vidx,
+    )
+    return trace_occlusion_soa(bvh, tris, ro, rd, t_min, t_max, active,
+                               max_leaf=max_leaf, stack_size=stack_size)
 
 
 def trace_closest_brute(vertices, tri_vidx, ro, rd, t_min, t_max, active):
     """O(R·T) reference intersector for tests — the executable spec the BVH
     traversal must match exactly (same role as the reference's scalar Ref
     backend vs its SIMD/GPU backends, SURVEY.md §4)."""
+    from ray_tpu.ops.intersect import intersect_tri
+
     p0 = vertices[tri_vidx[:, 0]]
     p1 = vertices[tri_vidx[:, 1]]
     p2 = vertices[tri_vidx[:, 2]]

@@ -47,14 +47,21 @@ def fresnel_dielectric_cos(cosi, eta):
 
 
 def D_GGX(h_ts, alpha):
-    """Anisotropic GGX NDF of a tangent-space half vector."""
+    """Anisotropic GGX NDF of a tangent-space half vector.
+
+    Alpha is clamped away from zero *inside* the divisions: perfectly smooth
+    lobes are select-masked by callers, but an unclamped 1/0 here turns into
+    inf partials and poisons gradients through the masked branch
+    (inf × zero-cotangent = NaN in the multiply vjp)."""
     hz = h_ts[..., 2]
     safe_hz = jnp.where(hz != 0.0, hz, 1.0)
-    sx = -h_ts[..., 0] / (safe_hz * alpha[..., 0])
-    sy = -h_ts[..., 1] / (safe_hz * alpha[..., 1])
+    a0 = jnp.maximum(alpha[..., 0], 1e-9)
+    a1 = jnp.maximum(alpha[..., 1], 1e-9)
+    sx = -h_ts[..., 0] / (safe_hz * a0)
+    sy = -h_ts[..., 1] / (safe_hz * a1)
     s1 = 1.0 + sx * sx + sy * sy
-    cos4 = sqr(sqr(hz))
-    d = 1.0 / (sqr(s1) * PI * alpha[..., 0] * alpha[..., 1] * cos4)
+    cos4 = jnp.maximum(sqr(sqr(hz)), 1e-20)
+    d = 1.0 / (sqr(s1) * PI * a0 * a1 * cos4)
     return jnp.where(hz != 0.0, d, 0.0)
 
 

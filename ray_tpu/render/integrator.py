@@ -32,7 +32,7 @@ from ray_tpu.ops.linalg import (
     power_heuristic,
     safe_div_pos,
 )
-from ray_tpu.ops.traverse import trace_closest, trace_occlusion
+from ray_tpu.ops.traverse import trace_closest_soa, trace_occlusion_soa
 from ray_tpu.render import light_sampling, surface as surface_mod, uber
 from ray_tpu.render.bsdf.microfacet import PI
 from ray_tpu.render.raygen import generate_primary_rays
@@ -54,6 +54,10 @@ class PassSettings:
     regularize_alpha: float = 0.03
     use_nee: bool = True
     use_path_termination: bool = True
+    # rematerialize the bounce body in backward: this *is* path-replay
+    # backprop — the detached RNG makes recomputation exact, trading HBM
+    # residency of per-bounce residuals for re-running the bounce math
+    remat: bool = False
 
 
 def _clamp_contribution(col, limit):
@@ -139,7 +143,6 @@ def render_tile(
         else jnp.float32(0.0)
     )
     have_lights = scene.num_lights > 0
-    tri_iota = jnp.arange(scene.tri_vidx.shape[0], dtype=jnp.int32)
 
     def bounce_step(state, bounce):
         (ro, rd, t_max, throughput, bsdf_pdf, active, depth, ior_stack,
@@ -149,11 +152,10 @@ def render_tile(
             is_first, settings.clamp_direct, settings.clamp_indirect
         )
 
-        hit = trace_closest(
-            scene.bvh_child_lo, scene.bvh_child_hi, scene.bvh_child,
-            tri_iota, scene.vertices, scene.tri_vidx,
+        hit = trace_closest_soa(
+            scene.bvh_soa, scene.tri_soa,
             ro, rd, jnp.zeros((R,), jnp.float32), t_max, active,
-            max_leaf=scene.max_leaf,
+            max_leaf=scene.max_leaf, stack_size=scene.stack_size,
         )
         miss = hit.prim < 0
         total_depth = depth[:, 0] + depth[:, 1] + depth[:, 2]
@@ -275,11 +277,11 @@ def render_tile(
             sh_dist = jnp.sqrt(jnp.maximum(dot(to_lp, to_lp, False), 1e-30))
             sh_d = to_lp / sh_dist[:, None]
             sh_dist = sh_dist * ls.dist_mul
-            occluded = trace_occlusion(
-                scene.bvh_child_lo, scene.bvh_child_hi, scene.bvh_child,
-                tri_iota, scene.vertices, scene.tri_vidx,
+            occluded = trace_occlusion_soa(
+                scene.bvh_soa, scene.tri_soa,
                 sh_o, sh_d, jnp.zeros((R,), jnp.float32), sh_dist * 0.999,
                 nee_valid & ls.cast_shadow, max_leaf=scene.max_leaf,
+                stack_size=scene.stack_size,
             )
             visible = nee_valid & ((~ls.cast_shadow) | (~occluded))
             sh_contrib = _clamp_contribution(throughput * nee_col, limit0)
@@ -345,7 +347,11 @@ def render_tile(
 
         new_state = (ro, rd, t_max, throughput, bsdf_pdf, next_active, depth,
                      ior_stack, accum, aux_base, aux_dn)
-        return new_state, None
+        # per-bounce ray counts for the Mrays/s stat (closest + shadow)
+        n_traced = jnp.sum(active.astype(jnp.int32))
+        if settings.use_nee and have_lights:
+            n_traced = n_traced + jnp.sum((nee_valid & ls.cast_shadow).astype(jnp.int32))
+        return new_state, n_traced
 
     state0 = (
         rays.ro,
@@ -361,8 +367,14 @@ def render_tile(
         jnp.zeros((R, 4), jnp.float32),             # aux depth-normal
     )
     n_iters = settings.max_total_depth + 1
-    state, _ = jax.lax.scan(
-        bounce_step, state0, jnp.arange(n_iters, dtype=jnp.int32)
+    body = jax.checkpoint(bounce_step) if settings.remat else bounce_step
+    state, n_traced = jax.lax.scan(
+        body, state0, jnp.arange(n_iters, dtype=jnp.int32)
     )
     accum, aux_base, aux_dn = state[8], state[9], state[10]
-    return {"color": accum, "base_color": aux_base, "depth_normal": aux_dn}
+    return {
+        "color": accum,
+        "base_color": aux_base,
+        "depth_normal": aux_dn,
+        "rays_traced": jnp.sum(n_traced),
+    }

@@ -218,6 +218,34 @@ def build_bvh2(tri_lo: np.ndarray, tri_hi: np.ndarray, max_leaf: int = 4) -> BVH
     )
 
 
+def pack_bvh_soa(bvh: "BVH2") -> dict:
+    """Decompose node records into 1-D columns for the TPU traversal.
+
+    On TPU the last dimension tiles to 128 lanes; a trailing ``3`` or ``2``
+    pads up to 128 (a 40×+ memory blowup observed at 2M-ray wavefronts), so
+    the traversal kernel consumes pure 1-D columns — a gather per column is
+    a clean (R,)-shaped op with no padding waste."""
+    out = {}
+    for side in range(2):
+        for axis, ax in enumerate("xyz"):
+            out[f"lo{side}{ax}"] = np.ascontiguousarray(bvh.child_lo[:, side, axis])
+            out[f"hi{side}{ax}"] = np.ascontiguousarray(bvh.child_hi[:, side, axis])
+        out[f"code{side}"] = np.ascontiguousarray(bvh.child[:, side])
+    return out
+
+
+def pack_tri_soa(vertices: np.ndarray, tri_vidx: np.ndarray) -> dict:
+    """Leaf-order triangle soup as 9 1-D columns (p0..p2 × xyz): one gather
+    per column instead of the two-level tri_vidx → vertices indirection, and
+    no trailing-small-dim padding (see pack_bvh_soa)."""
+    tris = vertices[tri_vidx]  # (T, 3, 3)
+    out = {}
+    for v in range(3):
+        for axis, ax in enumerate("xyz"):
+            out[f"p{v}{ax}"] = np.ascontiguousarray(tris[:, v, axis])
+    return out
+
+
 def tri_bounds(vertices: np.ndarray, indices: np.ndarray):
     """AABBs of indexed triangles. vertices (V,3) f32, indices (T,3) i32."""
     tris = vertices[indices]  # (T, 3, 3)

@@ -24,7 +24,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ray_tpu.scene.bvh import build_bvh2, tri_bounds
+from ray_tpu.scene.bvh import (
+    build_bvh2,
+    bvh_depth,
+    pack_bvh_soa,
+    pack_tri_soa,
+    tri_bounds,
+)
 from ray_tpu.scene.camera import Camera
 from ray_tpu.scene.lights import LightDesc, LightType, pack_lights
 from ray_tpu.scene.materials import (
@@ -49,10 +55,10 @@ class SceneFlat:
     tri_vidx: Any        # (T, 3) i32, in BVH leaf order
     tri_mat: Any         # (T, 2) i32 front/back material ids (-1 = none)
     tri_light: Any       # (T,) i32 light id for emissive tris (-1 = none)
-    # acceleration structure
-    bvh_child_lo: Any    # (N, 2, 3) f32
-    bvh_child_hi: Any    # (N, 2, 3) f32
-    bvh_child: Any       # (N, 2) i32
+    # acceleration structure: 1-D column dicts (TPU layout — see
+    # scene/bvh.py pack_bvh_soa) plus root bounds
+    bvh_soa: Any         # dict of (N,) columns
+    tri_soa: Any         # dict of (T,) columns, leaf order
     root_lo: Any         # (3,) f32
     root_hi: Any         # (3,) f32
     # tables
@@ -67,6 +73,9 @@ class SceneFlat:
     max_leaf: int = dataclasses.field(metadata=dict(static=True))
     num_lights: int = dataclasses.field(metadata=dict(static=True))
     env_light_index: int = dataclasses.field(metadata=dict(static=True))
+    # traversal stack bound: actual BVH depth + margin (big memory win over a
+    # fixed 48/64-slot stack at multi-megapixel wavefronts)
+    stack_size: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def num_tris(self) -> int:
@@ -258,9 +267,8 @@ class Scene:
             "tri_vidx": tri_vidx,
             "tri_mat": tri_mats,
             "tri_light": tri_light,
-            "bvh_child_lo": bvh.child_lo,
-            "bvh_child_hi": bvh.child_hi,
-            "bvh_child": bvh.child,
+            "bvh_soa": pack_bvh_soa(bvh),
+            "tri_soa": pack_tri_soa(vertices, tri_vidx),
             "root_lo": bvh.root_lo,
             "root_hi": bvh.root_hi,
             "materials": materials,
@@ -275,6 +283,7 @@ class Scene:
             max_leaf=max_leaf,
             num_lights=len(light_descs),
             env_light_index=env_light_index,
+            stack_size=bvh_depth(bvh) + 4,
         )
 
 

@@ -1,10 +1,14 @@
 """Test configuration: force the CPU backend with 8 virtual devices so
 multi-chip sharding tests run anywhere (the driver separately dry-runs the
-multi-chip path; real-TPU benchmarking happens in bench.py)."""
+multi-chip path; real-TPU benchmarking happens in bench.py).
+
+Note: this image's sitecustomize registers the TPU plugin and pins
+``jax_platforms`` at interpreter startup, so the env var alone is not
+enough — we override the config after import, before any backend init.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +17,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert len(jax.devices()) == 8, jax.devices()
