@@ -27,7 +27,8 @@ def cross(a, b):
 
 
 def length(v, keepdims=True):
-    return jnp.sqrt(jnp.maximum(dot(v, v, keepdims=keepdims), 0.0))
+    # 1e-30 floor keeps the sqrt derivative finite at exactly-zero vectors
+    return jnp.sqrt(jnp.maximum(dot(v, v, keepdims=keepdims), 1e-30))
 
 
 def normalize(v):
@@ -40,7 +41,7 @@ def safe_normalize(v):
 
 
 def safe_sqrt(x):
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    return jnp.sqrt(jnp.maximum(x, 1e-30))
 
 
 def safe_div(a, b):

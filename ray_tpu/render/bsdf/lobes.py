@@ -132,7 +132,16 @@ def eval_ggx_specular_ts(view_ts, h_ts, refl_ts, alpha, spec_ior, spec_F0, col, 
     return f_cos, pdf
 
 
+def _benign_alpha(alpha, smooth):
+    """Double-where guard: masked-smooth lanes evaluate with a harmless
+    alpha so no 1/alpha² intermediates overflow f32 in the backward pass
+    (observed: ~1e44 partials through D_GGX at alpha→1e-9)."""
+    return jnp.where(smooth[..., None], 0.01, alpha)
+
+
 def eval_ggx_specular(T, B, N, I, L, alpha, spec_ior, spec_F0, col, col90):
+    smooth = alpha[..., 0] * alpha[..., 1] < 1e-7
+    alpha = _benign_alpha(alpha, smooth)
     view_ts = tangent_from_world(T, B, N, -I)
     light_ts = tangent_from_world(T, B, N, L)
     H = _normalize(L - I)
@@ -140,13 +149,14 @@ def eval_ggx_specular(T, B, N, I, L, alpha, spec_ior, spec_F0, col, col90):
     f_cos, pdf = eval_ggx_specular_ts(
         view_ts, h_ts, light_ts, alpha, spec_ior, spec_F0, col, col90
     )
-    smooth = alpha[..., 0] * alpha[..., 1] < 1e-7
     return jnp.where(smooth[..., None], 0.0, f_cos), jnp.where(smooth, 0.0, pdf)
 
 
 def sample_ggx_specular(T, B, N, I, alpha, spec_ior, spec_F0, col, col90, rand):
     """Bounded-VNDF sample; smooth surfaces degenerate to a mirror delta
     (ShadeRef.cpp:508-538)."""
+    smooth = alpha[..., 0] * alpha[..., 1] < 1e-7
+    alpha = _benign_alpha(alpha, smooth)
     # rough path
     view_ts = _normalize(tangent_from_world(T, B, N, -I))
     h_ts = sample_ggx_vndf_bounded(view_ts, alpha, rand)
@@ -163,7 +173,6 @@ def sample_ggx_specular(T, B, N, I, alpha, spec_ior, spec_F0, col, col90, rand):
         jnp.maximum(1.0 - spec_F0, 1e-6)
     )
     f_mirror = (col + FH[..., None] * (col90 - col)) * DELTA_PDF
-    smooth = (alpha[..., 0] * alpha[..., 1] < 1e-7)
     return (
         jnp.where(smooth[..., None], dir_mirror, dir_rough),
         jnp.where(smooth[..., None], f_mirror, f_rough),
@@ -195,6 +204,8 @@ def eval_ggx_refraction_ts(view_ts, h_ts, refr_ts, alpha, eta, refr_col):
 
 
 def eval_ggx_refraction(T, B, N, I, L, alpha, eta, refr_col):
+    smooth = alpha[..., 0] * alpha[..., 1] < 1e-7
+    alpha = _benign_alpha(alpha, smooth)
     view_ts = tangent_from_world(T, B, N, -I)
     light_ts = tangent_from_world(T, B, N, L)
     H = _normalize(L - I * eta[..., None])
@@ -205,11 +216,14 @@ def eval_ggx_refraction(T, B, N, I, L, alpha, eta, refr_col):
 def sample_ggx_refraction(T, B, N, I, alpha, eta, refr_col, rand):
     """(ShadeRef.cpp:562-595).  Returns (dir, f_cos, pdf); total internal
     reflection yields zero weight."""
+    smooth = alpha[..., 0] * alpha[..., 1] < 1e-7
+    alpha = _benign_alpha(alpha, smooth)
     # smooth (delta) path
     n_dot_i = dot(N, I, False)
     cosi = -n_dot_i
     cost2 = 1.0 - eta * eta * (1.0 - cosi * cosi)
-    m = eta * cosi - jnp.sqrt(jnp.maximum(cost2, 0.0))
+    # 1e-12 floor: sqrt'(0)=inf would NaN the masked-TIR lanes' gradients
+    m = eta * cosi - jnp.sqrt(jnp.maximum(cost2, 1e-12))
     dir_delta = _normalize(eta[..., None] * I + m[..., None] * N)
     ok_delta = cost2 >= 0.0
     f_delta = jnp.where(ok_delta[..., None], refr_col * DELTA_PDF, 0.0)
@@ -219,7 +233,7 @@ def sample_ggx_refraction(T, B, N, I, alpha, eta, refr_col, rand):
     h_ts = sample_ggx_vndf(view_ts, alpha, rand)
     cosi_r = dot(view_ts, h_ts, False)
     cost2_r = 1.0 - eta * eta * (1.0 - cosi_r * cosi_r)
-    m_r = eta * cosi_r - jnp.sqrt(jnp.maximum(cost2_r, 0.0))
+    m_r = eta * cosi_r - jnp.sqrt(jnp.maximum(cost2_r, 1e-12))
     refr_ts = _normalize(-eta[..., None] * view_ts + m_r[..., None] * h_ts)
     dir_rough = world_from_tangent(T, B, N, refr_ts)
     f_rough, pdf_rough = eval_ggx_refraction_ts(
@@ -228,7 +242,6 @@ def sample_ggx_refraction(T, B, N, I, alpha, eta, refr_col, rand):
     ok_rough = cost2_r >= 0.0
     f_rough = jnp.where(ok_rough[..., None], f_rough, 0.0)
 
-    smooth = alpha[..., 0] * alpha[..., 1] < 1e-7
     return (
         jnp.where(smooth[..., None], dir_delta, dir_rough),
         jnp.where(smooth[..., None], f_delta, f_rough),
@@ -260,18 +273,21 @@ def eval_clearcoat_ts(view_ts, h_ts, refl_ts, coat_roughness2, coat_ior, coat_F0
 
 
 def eval_clearcoat(T, B, N, I, L, coat_roughness2, coat_ior, coat_F0):
+    smooth = sqr(coat_roughness2) < 1e-7
+    coat_roughness2 = jnp.where(smooth, 0.01, coat_roughness2)
     view_ts = tangent_from_world(T, B, N, -I)
     light_ts = tangent_from_world(T, B, N, L)
     H = _normalize(L - I)
     h_ts = tangent_from_world(T, B, N, H)
     f, pdf = eval_clearcoat_ts(view_ts, h_ts, light_ts, coat_roughness2, coat_ior, coat_F0)
-    smooth = sqr(coat_roughness2) < 1e-7
     return jnp.where(smooth, 0.0, f), jnp.where(smooth, 0.0, pdf)
 
 
 def sample_clearcoat(T, B, N, I, coat_roughness2, coat_ior, coat_F0, rand):
     """(ShadeRef.cpp:619-645); GGX-VNDF sampled though the NDF is GTR1,
     matching Cycles (and the reference's note)."""
+    smooth = sqr(coat_roughness2) < 1e-7
+    coat_roughness2 = jnp.where(smooth, 0.01, coat_roughness2)
     view_ts = _normalize(tangent_from_world(T, B, N, -I))
     alpha2 = jnp.stack([coat_roughness2, coat_roughness2], axis=-1)
     h_ts = sample_ggx_vndf_bounded(view_ts, alpha2, rand)
@@ -288,7 +304,6 @@ def sample_clearcoat(T, B, N, I, coat_roughness2, coat_ior, coat_F0, rand):
         jnp.maximum(1.0 - coat_F0, 1e-6)
     )
     f_mirror = (0.04 + FH * (1.0 - 0.04)) * DELTA_PDF
-    smooth = sqr(coat_roughness2) < 1e-7
     return (
         jnp.where(smooth[..., None], dir_mirror, dir_rough),
         jnp.where(smooth, f_mirror, f_rough),

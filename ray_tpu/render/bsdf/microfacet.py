@@ -39,7 +39,7 @@ def fresnel_dielectric_cos(cosi, eta):
     (Cycles convention, reference ShadeRef.cpp:54-75)."""
     c = jnp.abs(cosi)
     g2 = eta * eta - 1.0 + c * c
-    g = jnp.sqrt(jnp.maximum(g2, 0.0))
+    g = jnp.sqrt(jnp.maximum(g2, 1e-12))
     A = (g - c) / jnp.where(g + c != 0.0, g + c, 1.0)
     B = (c * (g + c) - 1.0) / jnp.where(c * (g - c) + 1.0 != 0.0, c * (g - c) + 1.0, 1.0)
     result = 0.5 * A * A * (1.0 + B * B)
@@ -74,8 +74,10 @@ def G1(v_ts, alpha):
 
 
 def D_GTR1(n_dot_h, a):
-    """Berry distribution for the clearcoat lobe."""
-    a_c = jnp.minimum(a, 0.999999)
+    """Berry distribution for the clearcoat lobe.  ``a`` is clamped to
+    (1e-3, 1-1e-6) inside the log/divide so gradients through masked lanes
+    stay finite (log(0) and log(1) are both hazards)."""
+    a_c = jnp.clip(a, 1e-3, 0.999999)
     a2 = sqr(a_c)
     t = 1.0 + (a2 - 1.0) * n_dot_h * n_dot_h
     d = (a2 - 1.0) / (PI * jnp.log(a2) * t)
@@ -90,7 +92,7 @@ def sample_vndf_sph_cap(vh, rand):
     """Spherical-cap VNDF hemisphere sampling (Dupuy & Benyoub)."""
     phi = 2.0 * PI * rand[..., 0]
     z = (1.0 - rand[..., 1]) * (1.0 + vh[..., 2]) - vh[..., 2]
-    sin_theta = jnp.sqrt(saturate(1.0 - z * z))
+    sin_theta = jnp.sqrt(jnp.clip(1.0 - z * z, 1e-12, 1.0))
     sp, cp = _sincos(phi)
     c = jnp.stack([sin_theta * cp, sin_theta * sp, z], axis=-1)
     return c + vh
@@ -106,7 +108,7 @@ def sample_vndf_sph_cap_bounded(ve, vh, alpha, rand):
     k = (1.0 - a2) * s2 / (s2 + a2 * sqr(ve[..., 2]))
     b = jnp.where(ve[..., 2] > 0.0, k * vh[..., 2], vh[..., 2])
     z = (1.0 - rand[..., 1]) * (1.0 + b) - b
-    sin_theta = jnp.sqrt(saturate(1.0 - z * z))
+    sin_theta = jnp.sqrt(jnp.clip(1.0 - z * z, 1e-12, 1.0))
     sp, cp = _sincos(phi)
     c = jnp.stack([sin_theta * cp, sin_theta * sp, z], axis=-1)
     return c + vh
@@ -158,14 +160,14 @@ def ggx_vndf_reflection_bounded_pdf(d, ve_ts, alpha):
     ``d`` (Eto & Tokuyoshi eq. 18; reference ShadeRef.cpp:181-194)."""
     ai0 = alpha[..., 0] * ve_ts[..., 0]
     ai1 = alpha[..., 1] * ve_ts[..., 1]
-    len2 = ai0 * ai0 + ai1 * ai1
-    t = jnp.sqrt(len2 + sqr(ve_ts[..., 2]))
+    len2 = jnp.maximum(ai0 * ai0 + ai1 * ai1, 1e-9)
+    t = jnp.sqrt(jnp.maximum(len2 + sqr(ve_ts[..., 2]), 1e-18))
     a = saturate(jnp.minimum(alpha[..., 0], alpha[..., 1]))
     s = 1.0 + jnp.sqrt(sqr(ve_ts[..., 0]) + sqr(ve_ts[..., 1]))
     a2, s2 = a * a, s * s
     k = (1.0 - a2) * s2 / (s2 + a2 * sqr(ve_ts[..., 2]))
     pdf_above = d / (2.0 * (k * ve_ts[..., 2] + t))
-    pdf_below = d * (t - ve_ts[..., 2]) / (2.0 * jnp.maximum(len2, 1e-20))
+    pdf_below = d * (t - ve_ts[..., 2]) / (2.0 * len2)
     return jnp.where(ve_ts[..., 2] >= 0.0, pdf_above, pdf_below)
 
 

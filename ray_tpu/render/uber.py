@@ -74,7 +74,8 @@ class UberParams(NamedTuple):
 
 
 def _spec_ior_from_specular(specular):
-    return (2.0 / (1.0 - jnp.sqrt(0.08 * specular))) - 1.0
+    # 1e-12 floor keeps d(ior)/d(specular) finite at specular == 0
+    return (2.0 / (1.0 - jnp.sqrt(jnp.maximum(0.08 * specular, 1e-12)))) - 1.0
 
 
 def gather_uber_params(scene, mat_id, uv, I, N, backfacing, ext_ior, tex_rand,
