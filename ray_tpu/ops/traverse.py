@@ -101,16 +101,28 @@ def _tri_c(ox, oy, oz, dx, dy, dz, p0x, p0y, p0z, p1x, p1y, p1z,
     return hit, t, u, v, det < 0.0
 
 
+_EMPTY = jnp.int32(-0x80000000)  # stack-empty sentinel (never a valid code)
+
+
 def _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf, stack_size,
               any_hit):
+    """Register-cached traversal: the current entry lives in ``cur`` and the
+    stack only holds deferred far children.  Pushes/pops use one-hot
+    select/reduce over the small S axis instead of scatter/gather — scatters
+    into a (S, R) buffer were the dominant cost of the first implementation
+    (TPU lowers them poorly), while S·R elementwise selects are cheap VPU
+    work.  Each iteration retires one node *or* one leaf per ray and folds
+    the following pop into the same step."""
     R = ro.shape[0]
-    rows = jnp.arange(R, dtype=jnp.int32)
     ox, oy, oz = ro[:, 0], ro[:, 1], ro[:, 2]
     dx, dy, dz = rd[:, 0], rd[:, 1], rd[:, 2]
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
 
-    stack0 = jnp.zeros((stack_size, R), jnp.int32)
-    sp0 = jnp.where(active, 1, 0).astype(jnp.int32)  # entry 0 = root slot 0
+    s_iota = jnp.arange(stack_size, dtype=jnp.int32)[:, None]  # (S, 1)
+
+    stack0 = jnp.full((stack_size, R), _EMPTY, jnp.int32)
+    sp0 = jnp.zeros((R,), jnp.int32)
+    cur0 = jnp.where(active, 0, _EMPTY)  # root = slot code 0
 
     hit0 = Hit(
         t=jnp.asarray(t_max, jnp.float32),
@@ -121,21 +133,16 @@ def _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf, stack_size,
     )
 
     def cond(state):
-        _, sp, _ = state
-        return jnp.any(sp > 0)
+        _, _, cur, _ = state
+        return jnp.any(cur != _EMPTY)
 
     def body(state):
-        stack, sp, hit = state
-        act = sp > 0
-        top = jnp.maximum(sp - 1, 0)
-        code = stack[top, rows]
-        sp = jnp.where(act, sp - 1, sp)
+        stack, sp, cur, hit = state
+        is_node = cur >= 0
+        is_leaf = (cur < 0) & (cur != _EMPTY)
+        node = jnp.where(is_node, cur, 0)
 
-        is_node = act & (code >= 0)
-        is_leaf = act & (code < 0)
-        node = jnp.where(is_node, code, 0)
-
-        # ---- internal: test both children, push hit children near-first ----
+        # ---- internal: test both children ----
         h0, t0 = _aabb_c(
             ox, oy, oz, ix, iy, iz,
             bvh["lo0x"][node], bvh["lo0y"][node], bvh["lo0z"][node],
@@ -156,16 +163,17 @@ def _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf, stack_size,
         near_hit = jnp.where(near_is_0, h0, h1) & is_node
         far_hit = jnp.where(near_is_0, h1, h0) & is_node
 
-        # push far first so near pops first; masked scatter via OOB drop
-        far_slot = jnp.where(far_hit, sp, stack_size)
-        stack = stack.at[far_slot, rows].set(far_code, mode="drop")
-        sp = sp + far_hit.astype(jnp.int32)
-        near_slot = jnp.where(near_hit, sp, stack_size)
-        stack = stack.at[near_slot, rows].set(near_code, mode="drop")
-        sp = sp + near_hit.astype(jnp.int32)
+        # descend near; defer far on the stack only when both children hit
+        push = near_hit & far_hit
+        stack = jnp.where((s_iota == sp[None, :]) & push[None, :],
+                          far_code[None, :], stack)
+        sp = sp + push.astype(jnp.int32)
+        from_node = jnp.where(
+            near_hit, near_code, jnp.where(far_hit, far_code, _EMPTY)
+        )
 
         # ---- leaf: fixed-size vectorized block of triangle tests ----
-        first, count = _decode_leaf(jnp.where(is_leaf, code, -1))
+        first, count = _decode_leaf(jnp.where(is_leaf, cur, -1))
         t_best, prim_best, u_best, v_best, bf_best = (
             hit.t, hit.prim, hit.u, hit.v, hit.backface,
         )
@@ -177,7 +185,7 @@ def _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf, stack_size,
                 tris["p0x"][tri], tris["p0y"][tri], tris["p0z"][tri],
                 tris["p1x"][tri], tris["p1y"][tri], tris["p1z"][tri],
                 tris["p2x"][tri], tris["p2y"][tri], tris["p2z"][tri],
-                t_min, t_best if not any_hit else t_max,
+                t_min, t_max if any_hit else t_best,
             )
             take = th & valid
             t_best = jnp.where(take, tt, t_best)
@@ -186,15 +194,26 @@ def _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf, stack_size,
             v_best = jnp.where(take, tv, v_best)
             bf_best = jnp.where(take, tb, bf_best)
 
+        next_cur = jnp.where(is_node, from_node, _EMPTY)
         if any_hit:
-            # early-out per ray: any hit clears the stack
-            sp = jnp.where(prim_best >= 0, 0, sp)
+            done = prim_best >= 0
+            sp = jnp.where(done, 0, sp)
+            next_cur = jnp.where(done, _EMPTY, next_cur)
+
+        # pop where exhausted: one-hot reduce over the S axis
+        need_pop = (next_cur == _EMPTY) & (sp > 0)
+        top = sp - 1
+        popped = jnp.max(
+            jnp.where(s_iota == top[None, :], stack, _EMPTY), axis=0
+        )
+        next_cur = jnp.where(need_pop, popped, next_cur)
+        sp = jnp.where(need_pop, sp - 1, sp)
 
         new_hit = Hit(t=t_best, prim=prim_best, u=u_best, v=v_best,
                       backface=bf_best)
-        return stack, sp, new_hit
+        return stack, sp, next_cur, new_hit
 
-    _, _, hit = jax.lax.while_loop(cond, body, (stack0, sp0, hit0))
+    _, _, _, hit = jax.lax.while_loop(cond, body, (stack0, sp0, cur0, hit0))
     return hit
 
 
