@@ -165,6 +165,31 @@ def render_tile(
             * jnp.uint32(rng.RAND_DIM_BOUNCE_COUNT)
         )
 
+        # ---------- visible analytic lights (IntersectAreaLights,
+        # CoreRef.cpp:3616): a light hit in front of geometry terminates the
+        # path with MIS-weighted emission ----------
+        light_first = jnp.zeros_like(active)
+        any_visible_analytic = any(
+            vis and k not in (1, 5, 6)  # DIR/TRI/ENV handled elsewhere
+            for (k, vis, _d, _p) in scene.light_kinds
+        )
+        if any_visible_analytic:
+            seg_end = jnp.where(miss, t_max, hit.t)
+            al_t, al_i, al_pdf, al_spot = light_sampling.intersect_area_lights(
+                scene, ro, rd, seg_end
+            )
+            light_first = active & (al_i >= 0) & (al_t < seg_end)
+            lcol = scene.lights["col"][jnp.maximum(al_i, 0)] * al_spot[:, None]
+            if settings.use_nee:
+                lw = jnp.where(
+                    indirect & (total_depth < settings.max_total_depth),
+                    power_heuristic(bsdf_pdf, al_pdf),
+                    1.0,
+                )
+                lcol = lcol * lw[:, None]
+            l_contrib = _clamp_contribution(throughput * lcol, limit0)
+            accum = accum + jnp.where(light_first[:, None], l_contrib, 0.0)
+
         # ---------- environment on miss (ShadeRef.cpp:1192-1216) ----------
         env_col = light_sampling.env_color(scene, rd)
         if settings.use_nee and scene.env_light_index >= 0:
@@ -175,9 +200,11 @@ def render_tile(
             )
             env_col = env_col * mis_w[:, None]
         env_contrib = _clamp_contribution(throughput * env_col, limit0)
-        accum = accum + jnp.where((active & miss)[:, None], env_contrib, 0.0)
+        accum = accum + jnp.where(
+            (active & miss & (~light_first))[:, None], env_contrib, 0.0
+        )
 
-        alive = active & (~miss)
+        alive = active & (~miss) & (~light_first)
 
         # ---------- surface attributes ----------
         surf = surface_mod.compute_surface(

@@ -339,6 +339,129 @@ def env_color(scene, L):
     return jnp.where(has_map, col * tex[..., :3], col)
 
 
+def intersect_area_lights(scene, ro, rd, t_max):
+    """Closest visible analytic light along each ray.
+
+    Vectorized equivalent of the reference's ``IntersectAreaLights``
+    (internal/CoreRef.cpp:3616): tests every sphere/rect/disk/line light
+    with ``visible`` set against all rays (compute-all over the small light
+    table; a light BVH takes over for many-light scenes).  Returns
+    ``(t, light_idx, pdf)``: hit distance (inf if none), light id (-1), and
+    the solid-angle NEE pdf of that hit × pick probability — the quantity
+    the MIS weight needs (reference Evaluate_LightColor,
+    ShadeRef.cpp:1080-1170).
+    """
+    L = scene.lights
+    R = ro.shape[0]
+    best_t = jnp.full((R,), jnp.inf, jnp.float32)
+    best_i = jnp.full((R,), -1, jnp.int32)
+    best_pdf = jnp.zeros((R,), jnp.float32)
+    best_spot = jnp.ones((R,), jnp.float32)
+
+    for i, (ltype, visible, dsd, _portal) in enumerate(scene.light_kinds):
+        if not visible or ltype in (LightType.TRI, LightType.ENV, LightType.DIR):
+            continue
+        col_pos = L["pos"][i]
+        pick = L["pick_pdf"][i]
+
+        if ltype == LightType.SPHERE:
+            radius = L["radius"][i]
+            oc = ro - col_pos[None, :]
+            b = dot(rd, oc, False)
+            c = dot(oc, oc, False) - radius * radius
+            disc = b * b - c
+            t_hit = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+            ok = (disc >= 0.0) & (t_hit > 0.0) & (t_hit < t_max)
+            # NEE pdf of this direction (solid-angle disk approximation,
+            # matching the sampler's pdf so MIS weights cancel correctly)
+            d2 = dot(oc, oc, False)
+            d = jnp.sqrt(jnp.maximum(d2, 1e-12))
+            temp = jnp.sqrt(jnp.maximum(d2 - radius * radius, 0.0))
+            disk_r = safe_div_pos(temp * radius, d)
+            disk_dist = safe_div_pos(temp * disk_r, jnp.maximum(radius, 1e-9))
+            area = PI * disk_r * disk_r
+            ln = -oc / d[:, None]
+            cos_theta = dot(rd, ln, False)
+            pdf = safe_div_pos(disk_dist * disk_dist, area * jnp.maximum(cos_theta, 1e-9)) * pick
+            # spot falloff (reference ShadeRef.cpp:1152-1163)
+            spot_cos = L["spot_cos"][i]
+            sdot = -dot(rd, L["dir"][i][None, :], False)
+            sangle = jnp.arccos(saturate(sdot))
+            slimit = jnp.arccos(jnp.clip(spot_cos, -1.0, 1.0))
+            spot = jnp.where(
+                spot_cos > -1.5,
+                jnp.where(
+                    sdot > 0.0,
+                    saturate(safe_div_pos(slimit - sangle,
+                                          jnp.maximum(L["spot_blend"][i], 1e-6))),
+                    0.0,
+                ),
+                1.0,
+            )
+        elif ltype in (LightType.RECT, LightType.DISK):
+            u_ax = L["u"][i] * L["width"][i]
+            v_ax = L["v"][i] * L["height"][i]
+            fwd = jnp.cross(u_ax, v_ax)
+            fwd = fwd / jnp.maximum(jnp.linalg.norm(fwd), 1e-12)
+            denom = dot(rd, fwd[None, :], False)
+            # single-sided lights emit along +fwd: visible only to rays
+            # traveling against it (rd·fwd < 0), like the sampler's
+            # cos(-L, fwd) > 0 test
+            facing = jnp.abs(denom) > 1e-7 if dsd else (denom < -1e-7)
+            t_hit = dot(col_pos[None, :] - ro, fwd[None, :], False) / jnp.where(
+                jnp.abs(denom) > 1e-9, denom, 1e-9
+            )
+            p = ro + rd * t_hit[:, None] - col_pos[None, :]
+            pu = dot(p, u_ax[None, :], False) / jnp.maximum(
+                jnp.sum(u_ax * u_ax), 1e-12
+            )
+            pv = dot(p, v_ax[None, :], False) / jnp.maximum(
+                jnp.sum(v_ax * v_ax), 1e-12
+            )
+            if ltype == LightType.RECT:
+                inside = (jnp.abs(pu) <= 0.5) & (jnp.abs(pv) <= 0.5)
+                area = L["width"][i] * L["height"][i]
+            else:
+                inside = (pu * pu + pv * pv) <= 0.25
+                area = 0.25 * PI * L["width"][i] * L["height"][i]
+            ok = facing & (t_hit > 0.0) & (t_hit < t_max) & inside
+            cos_theta = jnp.abs(denom)
+            pdf = safe_div_pos(t_hit * t_hit, area * jnp.maximum(cos_theta, 1e-9)) * pick
+            spot = jnp.ones((R,), jnp.float32)
+        elif ltype == LightType.LINE:
+            # finite cylinder of radius r around axis v through pos
+            axis = L["v"][i]
+            r_cyl = L["radius"][i]
+            h = L["height"][i]
+            oc = ro - col_pos[None, :]
+            d_perp = rd - dot(rd, axis[None, :]) * axis[None, :]
+            o_perp = oc - dot(oc, axis[None, :]) * axis[None, :]
+            a_q = dot(d_perp, d_perp, False)
+            b_q = dot(d_perp, o_perp, False)
+            c_q = dot(o_perp, o_perp, False) - r_cyl * r_cyl
+            disc = b_q * b_q - a_q * c_q
+            t_hit = safe_div_pos(-b_q - jnp.sqrt(jnp.maximum(disc, 0.0)),
+                                 jnp.maximum(a_q, 1e-12))
+            z = dot(oc + rd * t_hit[:, None], axis[None, :], False)
+            ok = (disc >= 0.0) & (t_hit > 0.0) & (t_hit < t_max) & (
+                jnp.abs(z) <= 0.5 * h
+            )
+            area = 2.0 * PI * r_cyl * h
+            cos_theta = 1.0 - jnp.abs(dot(rd, axis[None, :], False))
+            pdf = safe_div_pos(t_hit * t_hit, area * jnp.maximum(cos_theta, 1e-9)) * pick
+            spot = jnp.ones((R,), jnp.float32)
+        else:
+            continue
+
+        closer = ok & (t_hit < best_t)
+        best_t = jnp.where(closer, t_hit, best_t)
+        best_i = jnp.where(closer, i, best_i)
+        best_pdf = jnp.where(closer, pdf, best_pdf)
+        best_spot = jnp.where(closer, spot, best_spot)
+
+    return best_t, best_i, best_pdf, best_spot
+
+
 def tri_light_hit_pdf(scene, prim, t, I, pick_pdf_of_light):
     """Solid-angle pdf of having NEE-sampled the emissive triangle that a
     BSDF ray just hit — for the MIS weight at emissive hits

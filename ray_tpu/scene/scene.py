@@ -76,6 +76,9 @@ class SceneFlat:
     # traversal stack bound: actual BVH depth + margin (big memory win over a
     # fixed 48/64-slot stack at multi-megapixel wavefronts)
     stack_size: int = dataclasses.field(metadata=dict(static=True))
+    # per-light (type, visible, doublesided, sky_portal) — static so kernels
+    # can unroll over the light list with type-specialized code
+    light_kinds: tuple = dataclasses.field(metadata=dict(static=True))
 
     @property
     def num_tris(self) -> int:
@@ -284,6 +287,11 @@ class Scene:
             num_lights=len(light_descs),
             env_light_index=env_light_index,
             stack_size=bvh_depth(bvh) + 4,
+            light_kinds=tuple(
+                (int(d.type), bool(d.visible), bool(d.doublesided),
+                 bool(d.sky_portal))
+                for d in light_descs
+            ),
         )
 
 

@@ -105,6 +105,20 @@ def test_different_iterations_differ():
     assert not np.array_equal(s1, s2)
 
 
+def test_visible_analytic_light_consistency():
+    """With IntersectAreaLights, BSDF rays see sphere/rect lights directly,
+    so NEE-on and NEE-off renders must converge to the same image."""
+    for kind in ["sphere", "rect"]:
+        sc, cam = cornell_scene(kind, light_power=4.0)
+        flat = sc.finalize()
+        a = _render(flat, cam, spp=32, depth=3, use_nee=True)
+        b = _render(flat, cam, spp=256, depth=3, use_nee=False)
+        rel = abs(a.mean() - b.mean()) / max(a.mean(), 1e-9)
+        assert rel < 0.08, (kind, a.mean(), b.mean())
+        # the light itself is directly visible (bright pixels exist)
+        assert a.max() > 3.0, kind
+
+
 def test_analytic_lights_illuminate():
     for kind in ["rect", "sphere", "dir"]:
         sc, cam = cornell_scene(kind)
