@@ -347,8 +347,10 @@ def render_tile(
         rr_pass = term_r >= rr_q
         new_throughput = new_throughput * safe_div_pos(1.0, 1.0 - rr_q)[:, None]
 
+        # transparent hits don't shade but do continue the path
+        can_continue = can_shade | (alive & params.is_transparent)
         next_active = (
-            can_shade & depth_ok & rr_pass & (tlum > 0.0) & (bs.pdf > 0.0)
+            can_continue & depth_ok & rr_pass & (tlum > 0.0) & (bs.pdf > 0.0)
         )
 
         entering = next_active & is_refr & (~hit.backface)
