@@ -193,7 +193,10 @@ def render_tile(
         # ---------- environment on miss (ShadeRef.cpp:1192-1216) ----------
         env_col = light_sampling.env_color(scene, rd)
         if settings.use_nee and scene.env_light_index >= 0:
-            light_pdf = (0.5 / PI) * env_light_pick_pdf
+            if scene.env_tab_h > 0:
+                light_pdf = light_sampling.env_hit_pdf(scene, rd) * env_light_pick_pdf
+            else:
+                light_pdf = (0.5 / PI) * env_light_pick_pdf
             can_mis = indirect & (total_depth < settings.max_total_depth)
             mis_w = jnp.where(
                 can_mis, power_heuristic(bsdf_pdf, light_pdf), 1.0

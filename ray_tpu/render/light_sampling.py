@@ -283,12 +283,17 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
     out_pdf = jnp.where(tri_ok, tri_pdf, out_pdf)
     out_area = jnp.where(tri_ok, tri_area, out_area)
 
-    # ---- env — CoreRef.cpp:3578-3611 (cosine-free hemisphere around N) ----
-    phi_e = 2.0 * PI * r2
-    spe, cpe = _sincos(phi_e)
-    de = jnp.sqrt(jnp.maximum(1.0 - r1 * r1, 0.0))
-    env_ts = jnp.stack([de * cpe, de * spe, r1], axis=-1)
-    env_L = world_from_tangent(T, B, N, env_ts)
+    # ---- env — CoreRef.cpp:3578-3611: importance-sampled from the latlong
+    # CDF tables when a map exists, uniform hemisphere otherwise ----
+    if scene.env_tab_h > 0:
+        env_L, env_pdf_sa = sample_env_importance(scene, r1, r2)
+    else:
+        phi_e = 2.0 * PI * r2
+        spe, cpe = _sincos(phi_e)
+        de = jnp.sqrt(jnp.maximum(1.0 - r1 * r1, 0.0))
+        env_ts = jnp.stack([de * cpe, de * spe, r1], axis=-1)
+        env_L = world_from_tangent(T, B, N, env_ts)
+        env_pdf_sa = jnp.full(r1.shape, 0.5 / PI)
     is_env = ltype == LightType.ENV
     # the ENV light's table color is only used for pick-CDF weighting; actual
     # radiance comes from env_color (constant × map) to avoid double counting
@@ -296,7 +301,7 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
     out_col = jnp.where(is_env[:, None], env_col_mult, out_col)
     out_L = jnp.where(is_env[:, None], env_L, out_L)
     out_lp = jnp.where(is_env[:, None], P + env_L, out_lp)
-    out_pdf = jnp.where(is_env, 0.5 / PI, out_pdf)
+    out_pdf = jnp.where(is_env, env_pdf_sa, out_pdf)
     out_area = jnp.where(is_env, 1.0, out_area)
     out_distmul = jnp.where(is_env, MAX_DIST, out_distmul)
     out_fromenv = out_fromenv | is_env
@@ -337,6 +342,85 @@ def env_color(scene, L):
         scene.textures, jnp.broadcast_to(tex_id, L.shape[:-1]), uv
     )
     return jnp.where(has_map, col * tex[..., :3], col)
+
+
+def _bits(n):
+    b = 0
+    while (1 << b) < n:
+        b += 1
+    return b
+
+
+def _search_cdf(gather, length, r):
+    """Vectorized binary search: smallest i with cdf[i] > r.
+
+    ``gather(i)`` returns cdf values for an (R,) index array; ``length`` is
+    static.  O(log N) gathers — no (R, N) materialization."""
+    lo = jnp.zeros_like(r, dtype=jnp.int32)
+    hi = jnp.full_like(lo, length)
+    for _ in range(_bits(length)):
+        mid = (lo + hi) >> 1
+        v = gather(jnp.clip(mid, 0, length - 1))
+        go_right = v <= r
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return jnp.clip(lo, 0, length - 1)
+
+
+def sample_env_importance(scene, r1, r2):
+    """Inverse-transform sample of the latlong env luminance CDF.
+
+    Returns (L, pdf_solid_angle).  Counterpart of the reference's
+    ``Sample_EnvQTree`` (internal/CoreRef.cpp); tables from scene/env.py.
+    """
+    H, W = scene.env_tab_h, scene.env_tab_w
+    marg = scene.env_marginal_cdf
+    cond = scene.env_cond_cdf
+
+    y = _search_cdf(lambda i: marg[i], H, r1)
+    y_lo = jnp.where(y > 0, marg[jnp.maximum(y - 1, 0)], 0.0)
+    y_w = jnp.maximum(marg[y] - y_lo, 1e-12)
+    fy = saturate((r1 - y_lo) / y_w)
+
+    x = _search_cdf(lambda i: cond[y * W + i], W, r2)
+    x_lo = jnp.where(x > 0, cond[y * W + jnp.maximum(x - 1, 0)], 0.0)
+    x_w = jnp.maximum(cond[y * W + x] - x_lo, 1e-12)
+    fx = saturate((r2 - x_lo) / x_w)
+
+    u = (x.astype(jnp.float32) + fx) / W
+    v = (y.astype(jnp.float32) + fy) / H
+    theta = v * PI
+    phi = u * 2.0 * PI
+    st = jnp.sin(theta)
+    xp = st * jnp.cos(phi)
+    zp = st * jnp.sin(phi)
+    rot = scene.env_rotation
+    L = jnp.stack(
+        [
+            jnp.cos(rot) * xp + jnp.sin(rot) * zp,
+            jnp.cos(theta),
+            -jnp.sin(rot) * xp + jnp.cos(rot) * zp,
+        ],
+        axis=-1,
+    )
+    pdf = scene.env_pdf[y * W + x]
+    return L, pdf
+
+
+def env_hit_pdf(scene, L):
+    """Solid-angle pdf that :func:`sample_env_importance` would have produced
+    direction ``L`` — the miss-side MIS counterpart (reference
+    Evaluate_EnvQTree, ShadeRef.cpp:1056-1066)."""
+    H, W = scene.env_tab_h, scene.env_tab_w
+    rot = scene.env_rotation
+    x_r = L[..., 0] * jnp.cos(rot) - L[..., 2] * jnp.sin(rot)
+    z_r = L[..., 0] * jnp.sin(rot) + L[..., 2] * jnp.cos(rot)
+    theta = jnp.arccos(jnp.clip(L[..., 1], -1.0, 1.0)) / PI
+    phi = jnp.arctan2(z_r, x_r)
+    u = jnp.where(phi < 0.0, phi + 2.0 * PI, phi) / (2.0 * PI)
+    x = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
+    y = jnp.clip((theta * H).astype(jnp.int32), 0, H - 1)
+    return scene.env_pdf[y * W + x]
 
 
 def intersect_area_lights(scene, ro, rd, t_max):

@@ -69,6 +69,10 @@ class SceneFlat:
     env_col: Any         # (3,) f32 multiplier/color
     env_map: Any         # () i32 texture id (-1 = constant color)
     env_rotation: Any    # () f32 y-rotation, radians
+    # env importance tables (scene/env.py); size-1 dummies when no map
+    env_marginal_cdf: Any  # (H,) f32
+    env_cond_cdf: Any      # (H*W,) f32 row-major
+    env_pdf: Any           # (H*W,) f32 solid-angle pdf
     # static metadata
     max_leaf: int = dataclasses.field(metadata=dict(static=True))
     num_lights: int = dataclasses.field(metadata=dict(static=True))
@@ -79,6 +83,9 @@ class SceneFlat:
     # per-light (type, visible, doublesided, sky_portal) — static so kernels
     # can unroll over the light list with type-specialized code
     light_kinds: tuple = dataclasses.field(metadata=dict(static=True))
+    # env importance-table dims (0 when no env map)
+    env_tab_w: int = dataclasses.field(metadata=dict(static=True))
+    env_tab_h: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def num_tris(self) -> int:
@@ -263,6 +270,22 @@ class Scene:
         lights = pack_lights(light_descs, tri_areas)
         textures = self._textures.pack()
 
+        # env importance tables (scene/env.py; reference builds a luminance
+        # quadtree here instead — SceneCPU.cpp:1058 PrepareEnvMapQTree)
+        if self.env_map >= 0:
+            from ray_tpu.scene.env import build_env_cdf
+
+            img = self._textures.get_image(self.env_map)
+            env_marginal, env_cond, env_pdf = build_env_cdf(img)
+            env_tab_h, env_tab_w = env_pdf.shape
+            env_cond = env_cond.reshape(-1)
+            env_pdf = env_pdf.reshape(-1)
+        else:
+            env_marginal = np.ones(1, np.float32)
+            env_cond = np.ones(1, np.float32)
+            env_pdf = np.full(1, 0.25 / np.pi, np.float32)
+            env_tab_h = env_tab_w = 0
+
         dev = jax.tree_util.tree_map(jnp.asarray, {
             "vertices": vertices,
             "normals": normals,
@@ -280,6 +303,9 @@ class Scene:
             "env_col": self.env_col,
             "env_map": np.int32(self.env_map),
             "env_rotation": np.float32(self.env_rotation),
+            "env_marginal_cdf": env_marginal,
+            "env_cond_cdf": env_cond,
+            "env_pdf": env_pdf,
         })
         return SceneFlat(
             **dev,
@@ -292,6 +318,8 @@ class Scene:
                  bool(d.sky_portal))
                 for d in light_descs
             ),
+            env_tab_w=env_tab_w,
+            env_tab_h=env_tab_h,
         )
 
 

@@ -81,6 +81,14 @@ class TexturePacker:
         self.num_mips.append(len(mips))
         return tex_id
 
+    def get_image(self, tex_id: int, mip: int = 0) -> "np.ndarray":
+        """Reconstruct a mip level as (H, W, 4) — used by finalize to build
+        env importance tables before device upload."""
+        rec = int(np.cumsum([0] + self.num_mips[:-1])[tex_id]) + mip
+        off, w, h = self.records[rec]
+        # records store (offset, w, h); texels list is per-record
+        return self.texels[rec].reshape(h, w, 4)
+
     def pack(self) -> dict:
         """Returns numpy dict: ``texels`` (N,4), ``tex_offset``/``tex_w``/
         ``tex_h`` indexed by mip-record id, ``tex_mip0``/``tex_mips`` indexed
