@@ -175,6 +175,67 @@ class Scene:
     def set_camera(self, cam: Camera):
         self.camera = cam
 
+    def set_physical_sky(
+        self,
+        params=None,
+        sun_direction=(0.3, 0.9, 0.2),
+        sun_color=(20.0, 20.0, 20.0),
+        env_res=(256, 128),
+        add_sun_light: bool = True,
+        sun_angle: float = 0.53,
+    ):
+        """Bake the procedural atmosphere to the environment map and add the
+        sun as a directional light with transmittance-attenuated color — the
+        analogue of Scene::Finalize's PrepareSkyEnvMap (SceneCPU.cpp:1017)
+        plus the physical-sky sun registration (SceneCommon.cpp:314-327).
+
+        ``sun_direction`` points *toward* the sun.  Returns the params used.
+        """
+        import jax.numpy as jnp
+
+        from ray_tpu.render import sky as sky_mod
+        from ray_tpu.scene.lights import LightDesc, LightType
+
+        if params is None:
+            params = sky_mod.AtmosphereParams()
+        sd = np.asarray(sun_direction, np.float64)
+        sd = sd / np.linalg.norm(sd)
+        w, h = env_res
+        # when the sun is a separate dir light, keep the disk out of the
+        # bake (no double counting)
+        img = np.asarray(
+            sky_mod.bake_sky_env(
+                params, sd, sun_color, width=w, height=h,
+                include_sun_disk=not add_sun_light,
+            )
+        )
+        tex = self.add_texture(img[..., :3], generate_mips=False)
+        self.set_environment((1.0, 1.0, 1.0), map_id=tex)
+
+        if add_sun_light:
+            p = params.jnp_params()
+            lut = sky_mod.build_transmittance_lut(p)
+            r0 = jnp.asarray(p.planet_radius + p.viewpoint_height)
+            T = np.asarray(
+                sky_mod.lookup_transmittance(
+                    p, lut, r0[None], jnp.asarray([sd[1]], jnp.float32)
+                )
+            )[0]
+            sun_rad = np.asarray(sun_color, np.float64) * T
+            # radiance over the solid angle of the disk
+            ang = np.radians(sun_angle) * 0.5
+            sun_rad = sun_rad / (np.pi * ang * ang)
+            self.add_light(
+                LightDesc(
+                    type=LightType.DIR,
+                    color=tuple(float(c) for c in sun_rad),
+                    # LightDesc takes the direction the light travels
+                    direction=tuple(float(-c) for c in sd),
+                    angle=float(sun_angle),
+                )
+            )
+        return params
+
     # -- finalize ----------------------------------------------------------
     def finalize(self, max_leaf: int = 4) -> SceneFlat:
         """Compile to a SceneFlat (the analogue of Scene::Finalize,
