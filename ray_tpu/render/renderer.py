@@ -134,3 +134,37 @@ class Renderer:
         h, w = self.settings.height, self.settings.width
         v = jnp.abs(self.full_buf - self.half_buf)
         return np.asarray(v).reshape(h, w, 3)
+
+    def denoise_image(self, mode: str = "nlm") -> np.ndarray:
+        """Denoise the accumulated radiance (RendererBase::DenoiseImage,
+        RendererBase.h:246-253): 'nlm' = joint non-local means guided by the
+        AUX buffers; 'unet' = the OIDN-style network."""
+        h, w = self.settings.height, self.settings.width
+        color = self.full_buf.reshape(h, w, 3)
+        base = self.aux_base.reshape(h, w, 3)
+        dn = self.aux_dn.reshape(h, w, 4)
+        if mode == "nlm":
+            from ray_tpu.models.nlm import _box3, nlm_denoise
+            from ray_tpu.render.tonemap import (
+                reversible_tonemap,
+                reversible_tonemap_invert,
+            )
+
+            # filter in reversible-tonemap space with a pre-blurred dual-
+            # buffer variance estimate (RendererCPU.h:661-787 pre-pass)
+            color_t = reversible_tonemap(color)
+            half_t = reversible_tonemap(self.half_buf.reshape(h, w, 3))
+            var_t = _box3((color_t - half_t) ** 2) / 9.0
+            out = reversible_tonemap_invert(
+                nlm_denoise(color_t, var_t, base_color=base, depth_normal=dn)
+            )
+            return np.asarray(out)
+        if mode == "unet":
+            if not hasattr(self, "_unet"):
+                from ray_tpu.models.unet import UNetFilter
+
+                self._unet = UNetFilter()
+            return np.asarray(
+                self._unet.denoise(color, base, dn[..., :3])
+            )
+        raise ValueError(mode)
