@@ -122,11 +122,14 @@ def render_tile(
     tile_h: int,
     settings: PassSettings,
     use_filter_table: bool,
+    pixel_mask=None,
 ):
     """Render one sample of a (tile_h, tile_w) tile.
 
-    Returns dict with 'color' (R,3) radiance, 'base_color' (R,3),
-    'depth_normal' (R,4) — the AUX set of Types.h:49.
+    ``pixel_mask``: optional (R,) bool — False lanes trace nothing (the
+    adaptive-sampling analogue of the reference's ``required_samples`` skip,
+    CoreRef.cpp:1472).  Returns dict with 'color' (R,3) radiance,
+    'base_color' (R,3), 'depth_normal' (R,4) — the AUX set of Types.h:49.
     """
     rays = generate_primary_rays(
         cam, filter_table, x0, y0, iteration, rand_seed,
@@ -385,13 +388,16 @@ def render_tile(
             n_traced = n_traced + jnp.sum((nee_valid & ls.cast_shadow).astype(jnp.int32))
         return new_state, n_traced
 
+    active0 = (
+        jnp.ones((R,), jnp.bool_) if pixel_mask is None else pixel_mask
+    )
     state0 = (
         rays.ro,
         rays.rd,
         rays.t_max,
         jnp.ones((R, 3), jnp.float32),              # throughput
         jnp.full((R,), 1e6, jnp.float32),           # camera rays: delta pdf
-        jnp.ones((R,), jnp.bool_),                  # active
+        active0,                                    # active
         jnp.zeros((R, 4), jnp.int32),               # depth counters
         jnp.full((R, 4), -1.0, jnp.float32),        # ior stack
         jnp.zeros((R, 3), jnp.float32),             # accum

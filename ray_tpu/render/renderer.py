@@ -26,10 +26,14 @@ from ray_tpu.scene.camera import Camera, PixelFilter, build_filter_table
 
 @dataclasses.dataclass(frozen=True)
 class RenderSettings:
-    """Analogue of ``settings_t`` (RendererBase.h:52)."""
+    """Analogue of ``settings_t`` (RendererBase.h:52) plus the adaptive-
+    sampling knobs the reference keeps on the camera (SceneBase.h:301-306
+    ``min_samples``/``variance_threshold``)."""
 
     width: int = 256
     height: int = 256
+    min_samples: int = 16
+    variance_threshold: float = 0.0   # 0 = adaptive sampling off
 
 
 @dataclasses.dataclass
@@ -45,7 +49,7 @@ class RegionContext:
 
 @partial(jax.jit, static_argnames=("width", "height", "settings", "use_filter_table"))
 def _render_sample_jit(
-    scene, cam, filter_table, iteration, rand_seed,
+    scene, cam, filter_table, iteration, rand_seed, pixel_mask,
     *, width, height, settings, use_filter_table,
 ):
     out = render_tile(
@@ -53,23 +57,39 @@ def _render_sample_jit(
         jnp.int32(0), jnp.int32(0), iteration, rand_seed,
         width=width, height=height, tile_w=width, tile_h=height,
         settings=settings, use_filter_table=use_filter_table,
+        pixel_mask=pixel_mask,
     )
     return out
 
 
 @jax.jit
-def _accumulate(full_buf, half_buf, sample, iteration):
-    """Incremental average; odd samples also feed the half buffer
-    (RendererCPU.h:607-627) for the variance estimate."""
-    it_f = iteration.astype(jnp.float32)
-    mix = 1.0 / it_f
-    new_full = full_buf + (sample - full_buf) * mix
-    odd = (iteration % 2) == 1
+def _accumulate(full_buf, half_buf, counts, sample, mask):
+    """Per-pixel incremental average (pixels advance only while their mask
+    is on); odd samples also feed the half buffer (RendererCPU.h:607-627)
+    for the dual-buffer variance estimate."""
+    new_counts = counts + mask.astype(jnp.int32)
+    it_f = jnp.maximum(new_counts, 1).astype(jnp.float32)
+    new_full = jnp.where(
+        mask[:, None], full_buf + (sample - full_buf) / it_f[:, None], full_buf
+    )
+    odd = (new_counts % 2) == 1
     half_it = jnp.ceil(it_f * 0.5)
     new_half = jnp.where(
-        odd, half_buf + (sample - half_buf) / half_it, half_buf
+        (mask & odd)[:, None],
+        half_buf + (sample - half_buf) / half_it[:, None],
+        half_buf,
     )
-    return new_full, new_half
+    return new_full, new_half, new_counts
+
+
+@jax.jit
+def _variance_mask(full_buf, half_buf, threshold):
+    """Per-pixel convergence test in reversible-tonemap space
+    (RendererCPU.h:629-658)."""
+    from ray_tpu.render.tonemap import reversible_tonemap
+
+    d = jnp.abs(reversible_tonemap(full_buf) - reversible_tonemap(half_buf))
+    return jnp.max(d, axis=-1) > threshold
 
 
 class Renderer:
@@ -84,12 +104,16 @@ class Renderer:
         self.half_buf = jnp.zeros((h * w, 3), jnp.float32)
         self.aux_base = jnp.zeros((h * w, 3), jnp.float32)
         self.aux_dn = jnp.zeros((h * w, 4), jnp.float32)
+        self.sample_counts = jnp.zeros((h * w,), jnp.int32)
+        self.active_px = jnp.ones((h * w,), jnp.bool_)
         self.stats = {"time_primary_trace_us": 0.0, "time_shade_us": 0.0}
 
     def clear(self):
         self.iteration = 0
         self.full_buf = jnp.zeros_like(self.full_buf)
         self.half_buf = jnp.zeros_like(self.half_buf)
+        self.sample_counts = jnp.zeros_like(self.sample_counts)
+        self.active_px = jnp.ones_like(self.active_px)
 
     def render_sample(self, scene, cam: Camera, rand_seed: int = 0):
         """Advance one progressive sample over the full frame."""
@@ -97,19 +121,26 @@ class Renderer:
         table = jnp.asarray(
             build_filter_table(cam.filter, cam.filter_width)
         )
+        adaptive = self.settings.variance_threshold > 0.0
+        mask = self.active_px if adaptive else jnp.ones_like(self.active_px)
         out = _render_sample_jit(
             scene, cam, table,
-            jnp.uint32(self.iteration), jnp.uint32(rand_seed),
+            jnp.uint32(self.iteration), jnp.uint32(rand_seed), mask,
             width=self.settings.width, height=self.settings.height,
             settings=self.pass_settings,
             use_filter_table=cam.filter != PixelFilter.BOX,
         )
-        self.full_buf, self.half_buf = _accumulate(
-            self.full_buf, self.half_buf, out["color"], jnp.uint32(self.iteration)
+        self.full_buf, self.half_buf, self.sample_counts = _accumulate(
+            self.full_buf, self.half_buf, self.sample_counts, out["color"], mask
         )
         it = self.iteration
         self.aux_base = self.aux_base + (out["base_color"] - self.aux_base) / it
         self.aux_dn = self.aux_dn + (out["depth_normal"] - self.aux_dn) / it
+        if adaptive and self.iteration >= self.settings.min_samples:
+            self.active_px = self.active_px & _variance_mask(
+                self.full_buf, self.half_buf,
+                jnp.float32(self.settings.variance_threshold),
+            )
         return out
 
     def render(self, scene, cam: Camera, samples: int, rand_seed: int = 0):

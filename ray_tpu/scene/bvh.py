@@ -62,17 +62,41 @@ def _leaf_code(first: int, count: int) -> int:
     return -(((first << LEAF_COUNT_BITS) | count) + 1)
 
 
-def build_bvh2(tri_lo: np.ndarray, tri_hi: np.ndarray, max_leaf: int = 4) -> BVH2:
+NATIVE_BUILDER_THRESHOLD = 8192  # prims; below this numpy is fast enough
+
+
+def build_bvh2(
+    tri_lo: np.ndarray, tri_hi: np.ndarray, max_leaf: int = 4,
+    use_native: str = "auto",
+) -> BVH2:
     """Build a binary SAH BVH over primitives with AABBs [tri_lo, tri_hi].
 
     Returns flattened arrays; ``prim_indices`` gives the leaf-contiguous
-    primitive order.
+    primitive order.  ``use_native``: 'auto' uses the C++ builder
+    (scene/native) for big scenes when a toolchain is available, 'never'
+    forces numpy, 'always' requires native.
     """
     tri_lo = np.asarray(tri_lo, np.float32)
     tri_hi = np.asarray(tri_hi, np.float32)
     n = tri_lo.shape[0]
     assert n > 0, "empty BVH"
     assert 1 <= max_leaf <= LEAF_COUNT_MASK
+
+    if use_native != "never" and (
+        use_native == "always" or n >= NATIVE_BUILDER_THRESHOLD
+    ):
+        from ray_tpu.scene import native
+
+        out = native.build_bvh2_native(tri_lo, tri_hi, max_leaf)
+        if out is not None:
+            c_lo, c_hi, child, counts, prim, root_lo, root_hi = out
+            return BVH2(
+                child_lo=c_lo, child_hi=c_hi, child=child, counts=counts,
+                prim_indices=prim, root_lo=root_lo, root_hi=root_hi,
+                max_leaf=max_leaf,
+            )
+        if use_native == "always":
+            raise RuntimeError("native BVH builder unavailable")
     centroids = 0.5 * (tri_lo + tri_hi)
 
     order = np.arange(n, dtype=np.int32)
