@@ -217,18 +217,52 @@ def _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf, stack_size,
     return hit
 
 
+# Pallas fast-path thresholds (see ops/traverse_pallas.py): brute-force all
+# triangles below _PALLAS_BRUTE_MAX (cheaper than any tree walk, no gathers);
+# VMEM-resident BVH kernel up to T_MAX_BVH nodes/tris; XLA wavefront beyond.
+_PALLAS_BRUTE_MAX = 40
+
+
+def _pallas_mode(n_nodes: int, n_tris: int) -> str:
+    if jax.default_backend() != "tpu":
+        return "xla"
+    from ray_tpu.ops import traverse_pallas as tp
+
+    if n_tris <= _PALLAS_BRUTE_MAX:
+        return "brute"
+    if max(n_nodes, n_tris) <= tp.T_MAX_BVH:
+        return "bvh"
+    return "xla"
+
+
 @partial(jax.jit, static_argnames=("max_leaf", "stack_size"))
 def trace_closest_soa(bvh, tris, ro, rd, t_min, t_max, active,
                       max_leaf: int = 4, stack_size: int = MAX_STACK_SIZE):
     """Closest-hit trace against SoA-packed BVH + triangle columns.
+
+    Dispatches to the Pallas VMEM kernels on TPU for scenes that fit
+    (ops/traverse_pallas.py — bit-identical results) and to the XLA
+    wavefront loop otherwise.
 
     Args:
       bvh: dict of (N,) columns from ``pack_bvh_soa``.
       tris: dict of (T,) columns from ``pack_tri_soa`` (leaf order).
       ro, rd: (R, 3) f32; t_min, t_max: (R,) f32; active: (R,) bool.
     """
-    hit = _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf,
-                    stack_size, any_hit=False)
+    mode = _pallas_mode(bvh["code0"].shape[0], tris["p0x"].shape[0])
+    if mode == "brute":
+        from ray_tpu.ops.traverse_pallas import trace_brute_pallas
+
+        hit = trace_brute_pallas(tris, ro, rd, t_min, t_max, active,
+                                 n_tris=tris["p0x"].shape[0])
+    elif mode == "bvh":
+        from ray_tpu.ops.traverse_pallas import trace_bvh_pallas
+
+        hit = trace_bvh_pallas(bvh, tris, ro, rd, t_min, t_max, active,
+                               max_leaf=max_leaf, stack_size=stack_size)
+    else:
+        hit = _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf,
+                        stack_size, any_hit=False)
     return Hit(
         t=jax.lax.stop_gradient(hit.t),
         prim=hit.prim,
@@ -247,6 +281,20 @@ def trace_occlusion_soa(bvh, tris, ro, rd, t_min, t_max, active,
     (internal/CoreRef.cpp:2135).  Alpha-tested/transparent occluders are
     handled a level up (shade stage); this kernel treats triangles as solid.
     """
+    mode = _pallas_mode(bvh["code0"].shape[0], tris["p0x"].shape[0])
+    if mode == "brute":
+        from ray_tpu.ops.traverse_pallas import trace_brute_pallas
+
+        hit = trace_brute_pallas(tris, ro, rd, t_min, t_max, active,
+                                 n_tris=tris["p0x"].shape[0], any_hit=True)
+        return hit.prim >= 0
+    if mode == "bvh":
+        from ray_tpu.ops.traverse_pallas import trace_bvh_pallas
+
+        hit = trace_bvh_pallas(bvh, tris, ro, rd, t_min, t_max, active,
+                               max_leaf=max_leaf, stack_size=stack_size,
+                               any_hit=True)
+        return hit.prim >= 0
     hit = _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf,
                     stack_size, any_hit=True)
     return hit.prim >= 0

@@ -1,0 +1,477 @@
+"""Pallas TPU traversal kernels: rays and scene resident in VMEM.
+
+The XLA wavefront traversal (ops/traverse.py) pays HBM round-trips at every
+fusion boundary — ~45 ms per 2-Mray trace even on a 24-triangle scene.  These
+kernels keep a block of rays *and* the whole scene (padded SoA columns) in
+VMEM for the entire traversal, so the loop does pure VPU work with zero HBM
+traffic; ray blocks whose traversal finishes early exit their while-loop
+early (the TPU analogue of the reference's per-packet early-out,
+internal/CoreSIMD.h traversal).
+
+Per-lane random access uses the one Mosaic-supported gather shape —
+``jnp.take_along_axis(table, idx, axis=0)`` with ``table.shape == idx.shape``
+(sublane ``tpu.dynamic_gather``) — so every table is padded host-side to the
+ray-block row count T and broadcast across the 128 lanes.  This caps the
+Pallas path at scenes with ≤ T_MAX nodes/triangles (VMEM-resident scenes);
+bigger scenes fall back to the XLA path.  The brute-force kernel
+(``trace_brute_pallas``) skips the BVH entirely for ≤ 128-triangle scenes —
+at that size testing every triangle is cheaper than any tree walk and needs
+no gathers at all.
+
+Both kernels return bit-identical hits to ops/traverse.py (same slab/
+Möller–Trumbore math, same tie-breaking) — the equivalence tests in
+tests/test_traverse_pallas.py enforce it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ray_tpu.ops.intersect import HIT_EPS
+from ray_tpu.ops.traverse import Hit
+from ray_tpu.scene.bvh import LEAF_COUNT_BITS, LEAF_COUNT_MASK
+
+LANES = 128
+_EMPTY = np.int32(-0x80000000)
+
+# Pallas path limits: tables padded to the ray-block row count; scenes
+# exceeding them use the XLA fallback.
+T_MAX_BRUTE = 128    # triangles, brute-force kernel
+T_MAX_BVH = 512      # max(nodes, tris) rows, BVH kernel
+
+
+def _ceil_to(x, m):
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# Brute-force kernel (tiny scenes): every lane tests every triangle.
+# ---------------------------------------------------------------------------
+
+
+def _brute_kernel(tri_refs, ox, oy, oz, dx, dy, dz, tmn, tmx, act,
+                  o_t, o_prim, o_u, o_v, o_bf, *, n_tris, any_hit):
+    p0x, p0y, p0z, p1x, p1y, p1z, p2x, p2y, p2z = tri_refs
+    rox, roy, roz = ox[:], oy[:], oz[:]
+    rdx, rdy, rdz = dx[:], dy[:], dz[:]
+    t_min = tmn[:]
+    active = act[:] != 0
+
+    t_best = tmx[:]
+    t_limit = tmx[:]
+    prim = jnp.full(rox.shape, -1, jnp.int32)
+    u_b = jnp.zeros(rox.shape, jnp.float32)
+    v_b = jnp.zeros(rox.shape, jnp.float32)
+    bf = jnp.zeros(rox.shape, jnp.int32)
+
+    for k in range(n_tris):
+        e1x = p1x[k][0] - p0x[k][0]
+        e1y = p1y[k][0] - p0y[k][0]
+        e1z = p1z[k][0] - p0z[k][0]
+        e2x = p2x[k][0] - p0x[k][0]
+        e2y = p2y[k][0] - p0y[k][0]
+        e2z = p2z[k][0] - p0z[k][0]
+        pvx = rdy * e2z - rdz * e2y
+        pvy = rdz * e2x - rdx * e2z
+        pvz = rdx * e2y - rdy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        valid_det = jnp.abs(det) > HIT_EPS
+        inv_det = 1.0 / jnp.where(valid_det, det, 1.0)
+        tvx = rox - p0x[k][0]
+        tvy = roy - p0y[k][0]
+        tvz = roz - p0z[k][0]
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        upper = t_limit if any_hit else t_best
+        hit = (
+            valid_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > t_min) & (t < upper) & active
+        )
+        t_best = jnp.where(hit, t, t_best)
+        prim = jnp.where(hit, k, prim)
+        u_b = jnp.where(hit, u, u_b)
+        v_b = jnp.where(hit, v, v_b)
+        bf = jnp.where(hit, (det < 0.0).astype(jnp.int32), bf)
+
+    o_t[:] = t_best
+    o_prim[:] = prim
+    o_u[:] = u_b
+    o_v[:] = v_b
+    o_bf[:] = bf
+
+
+@functools.partial(jax.jit, static_argnames=("n_tris", "any_hit", "block_rows"))
+def _trace_brute_call(tris9, ro, rd, t_min, t_max, active, *, n_tris,
+                      any_hit, block_rows):
+    R = ro.shape[0]
+    rows = _ceil_to(R, block_rows * LANES) // LANES
+    grid = rows // block_rows
+
+    def prep(x, fill):
+        flat = jnp.full((rows * LANES,), fill, x.dtype).at[:R].set(x)
+        return flat.reshape(rows, LANES)
+
+    args = [
+        prep(ro[:, 0], 0.0), prep(ro[:, 1], 0.0), prep(ro[:, 2], 0.0),
+        prep(rd[:, 0], 1.0), prep(rd[:, 1], 0.0), prep(rd[:, 2], 0.0),
+        prep(t_min, 0.0), prep(t_max, 0.0),
+        prep(active.astype(jnp.int32), 0),
+    ]
+    ray_spec = pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec((n_tris, 1), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+    ]
+
+    def kern(*refs):
+        tri_refs = refs[:9]
+        _brute_kernel(tri_refs, *refs[9:], n_tris=n_tris, any_hit=any_hit)
+
+    t, prim, u, v, bf = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[tri_spec] * 9 + [ray_spec] * 9,
+        out_specs=[ray_spec] * 5,
+        out_shape=out_shape,
+    )(*tris9, *args)
+
+    def unprep(x):
+        return x.reshape(-1)[:R]
+
+    return tuple(unprep(x) for x in (t, prim, u, v, bf))
+
+
+def trace_brute_pallas(tri_soa, ro, rd, t_min, t_max, active, *, n_tris,
+                       any_hit=False, block_rows=256):
+    """Brute-force all-triangles trace for VMEM-resident scenes (≤
+    T_MAX_BRUTE tris).  tri_soa: leaf-order column dict from pack_tri_soa."""
+    # traversal is a discrete decision procedure — fully detached (shading
+    # re-derives differentiable quantities); pallas_call has no AD rule, so
+    # detach the inputs too
+    sg = jax.lax.stop_gradient
+    ro, rd, t_min, t_max = sg(ro), sg(rd), sg(t_min), sg(t_max)
+    tris9 = [
+        sg(jnp.asarray(tri_soa[k])).reshape(-1, 1)
+        for k in ("p0x", "p0y", "p0z", "p1x", "p1y", "p1z",
+                  "p2x", "p2y", "p2z")
+    ]
+    t, prim, u, v, bf = _trace_brute_call(
+        tris9, ro, rd, t_min, t_max, active,
+        n_tris=n_tris, any_hit=any_hit, block_rows=block_rows,
+    )
+    return Hit(t=t, prim=prim, u=u, v=v, backface=bf != 0)
+
+
+# ---------------------------------------------------------------------------
+# BVH kernel: per-lane stack traversal with sublane dynamic_gather fetches.
+# ---------------------------------------------------------------------------
+
+
+def _gather(table_ref, idx, shape):
+    """Per-lane gather from an (n_seg, 128)-packed table: entry e lives at
+    row e>>7, lane e&127.  Mosaic supports lane-axis ``dynamic_gather``
+    (one vreg along the gather dim = a 128-entry lookup); larger tables are
+    covered segment-by-segment with selects."""
+    n_seg = table_ref.shape[0]
+    local = idx & (LANES - 1)
+    if n_seg == 1:
+        row = jnp.broadcast_to(table_ref[0:1, :], shape)
+        return jnp.take_along_axis(row, local, axis=1)
+    seg = idx >> 7
+    out = None
+    for s in range(n_seg):
+        row = jnp.broadcast_to(table_ref[s:s + 1, :], shape)
+        g = jnp.take_along_axis(row, local, axis=1)
+        out = g if out is None else jnp.where(seg == s, g, out)
+    return out
+
+
+def _bvh_kernel(refs, *, B, stack_size, max_leaf, any_hit):
+    (n_lo0x, n_lo0y, n_lo0z, n_hi0x, n_hi0y, n_hi0z,
+     n_lo1x, n_lo1y, n_lo1z, n_hi1x, n_hi1y, n_hi1z,
+     n_code0, n_code1,
+     t_p0x, t_p0y, t_p0z, t_p1x, t_p1y, t_p1z, t_p2x, t_p2y, t_p2z,
+     ox, oy, oz, dx, dy, dz, tmn, tmx, act,
+     o_t, o_prim, o_u, o_v, o_bf, stack_ref) = refs
+
+    shape = (B, LANES)
+    g = lambda ref, idx: _gather(ref, idx, shape)
+    nodes = {
+        "lo0x": n_lo0x, "lo0y": n_lo0y, "lo0z": n_lo0z,
+        "hi0x": n_hi0x, "hi0y": n_hi0y, "hi0z": n_hi0z,
+        "lo1x": n_lo1x, "lo1y": n_lo1y, "lo1z": n_lo1z,
+        "hi1x": n_hi1x, "hi1y": n_hi1y, "hi1z": n_hi1z,
+        "code0": n_code0, "code1": n_code1,
+    }
+    tris = {
+        "p0x": t_p0x, "p0y": t_p0y, "p0z": t_p0z,
+        "p1x": t_p1x, "p1y": t_p1y, "p1z": t_p1z,
+        "p2x": t_p2x, "p2y": t_p2y, "p2z": t_p2z,
+    }
+
+    rox, roy, roz = ox[:], oy[:], oz[:]
+    rdx, rdy, rdz = dx[:], dy[:], dz[:]
+    t_min = tmn[:]
+    t_limit = tmx[:]
+    active = act[:] != 0
+
+    def safe_inv(v):
+        tiny = jnp.where(v >= 0.0, jnp.float32(1e-7), jnp.float32(-1e-7))
+        return 1.0 / jnp.where(jnp.abs(v) > 1e-7, v, tiny)
+
+    ix, iy, iz = safe_inv(rdx), safe_inv(rdy), safe_inv(rdz)
+
+    for s in range(stack_size):
+        stack_ref[s] = jnp.full(shape, _EMPTY, jnp.int32)
+
+    cur0 = jnp.where(active, 0, _EMPTY)
+    sp0 = jnp.zeros(shape, jnp.int32)
+    state0 = (
+        jnp.int32(1), cur0, sp0,
+        t_limit, jnp.full(shape, -1, jnp.int32),
+        jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.int32),
+    )
+
+    def aabb(lox, loy, loz, hix, hiy, hiz, t_cap):
+        tx0 = (lox - rox) * ix
+        tx1 = (hix - rox) * ix
+        ty0 = (loy - roy) * iy
+        ty1 = (hiy - roy) * iy
+        tz0 = (loz - roz) * iz
+        tz1 = (hiz - roz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.maximum(jnp.minimum(tz0, tz1), t_min),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.minimum(jnp.maximum(tz0, tz1), t_cap),
+        )
+        return tn <= tf * 1.00000024, tn
+
+    def body(state):
+        _, cur, sp, t_best, prim, u_b, v_b, bf_b = state
+        is_node = cur >= 0
+        is_leaf = (cur < 0) & (cur != _EMPTY)
+        node = jnp.where(is_node, cur, 0)
+
+        h0, t0 = aabb(
+            g(nodes["lo0x"], node), g(nodes["lo0y"], node),
+            g(nodes["lo0z"], node), g(nodes["hi0x"], node),
+            g(nodes["hi0y"], node), g(nodes["hi0z"], node),
+            t_best,
+        )
+        h1, t1 = aabb(
+            g(nodes["lo1x"], node), g(nodes["lo1y"], node),
+            g(nodes["lo1z"], node), g(nodes["hi1x"], node),
+            g(nodes["hi1y"], node), g(nodes["hi1z"], node),
+            t_best,
+        )
+        c0 = g(nodes["code0"], node)
+        c1 = g(nodes["code1"], node)
+        near_is_0 = t0 <= t1
+        near_code = jnp.where(near_is_0, c0, c1)
+        far_code = jnp.where(near_is_0, c1, c0)
+        # boolean selects as logic ops (Mosaic can't select on i1 vectors)
+        near_hit = ((near_is_0 & h0) | (~near_is_0 & h1)) & is_node
+        far_hit = ((near_is_0 & h1) | (~near_is_0 & h0)) & is_node
+
+        push = near_hit & far_hit
+        for s in range(stack_size):
+            stack_ref[s] = jnp.where((sp == s) & push, far_code, stack_ref[s])
+        sp = sp + push.astype(jnp.int32)
+        from_node = jnp.where(
+            near_hit, near_code, jnp.where(far_hit, far_code, _EMPTY)
+        )
+
+        leaf_v = jnp.where(is_leaf, cur, -1)
+        first = (-leaf_v - 1) >> LEAF_COUNT_BITS
+        count = (-leaf_v - 1) & LEAF_COUNT_MASK
+        for k in range(max_leaf):
+            valid = is_leaf & (k < count)
+            tri = jnp.where(valid, first + k, 0)
+            p0x = g(tris["p0x"], tri)
+            p0y = g(tris["p0y"], tri)
+            p0z = g(tris["p0z"], tri)
+            e1x = g(tris["p1x"], tri) - p0x
+            e1y = g(tris["p1y"], tri) - p0y
+            e1z = g(tris["p1z"], tri) - p0z
+            e2x = g(tris["p2x"], tri) - p0x
+            e2y = g(tris["p2y"], tri) - p0y
+            e2z = g(tris["p2z"], tri) - p0z
+            pvx = rdy * e2z - rdz * e2y
+            pvy = rdz * e2x - rdx * e2z
+            pvz = rdx * e2y - rdy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            valid_det = jnp.abs(det) > HIT_EPS
+            inv_det = 1.0 / jnp.where(valid_det, det, 1.0)
+            tvx, tvy, tvz = rox - p0x, roy - p0y, roz - p0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
+            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            upper = t_limit if any_hit else t_best
+            take = (
+                valid_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > t_min) & (t < upper) & valid
+            )
+            t_best = jnp.where(take, t, t_best)
+            prim = jnp.where(take, tri, prim)
+            u_b = jnp.where(take, u, u_b)
+            v_b = jnp.where(take, v, v_b)
+            bf_b = jnp.where(take, (det < 0.0).astype(jnp.int32), bf_b)
+
+        next_cur = jnp.where(is_node, from_node, _EMPTY)
+        if any_hit:
+            done = prim >= 0
+            sp = jnp.where(done, 0, sp)
+            next_cur = jnp.where(done, _EMPTY, next_cur)
+
+        need_pop = (next_cur == _EMPTY) & (sp > 0)
+        top = sp - 1
+        popped = jnp.full(shape, _EMPTY, jnp.int32)
+        for s in range(stack_size):
+            popped = jnp.where(top == s, stack_ref[s], popped)
+        next_cur = jnp.where(need_pop, popped, next_cur)
+        sp = jnp.where(need_pop, sp - 1, sp)
+
+        alive = jnp.any(next_cur != _EMPTY).astype(jnp.int32)
+        return (alive, next_cur, sp, t_best, prim, u_b, v_b, bf_b)
+
+    state = jax.lax.while_loop(
+        lambda s: s[0] > 0, body, state0
+    )
+    _, _, _, t_best, prim, u_b, v_b, bf_b = state
+    o_t[:] = t_best
+    o_prim[:] = prim
+    o_u[:] = u_b
+    o_v[:] = v_b
+    o_bf[:] = bf_b
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("node_segs", "tri_segs", "block_rows", "stack_size",
+                     "max_leaf", "any_hit"),
+)
+def _trace_bvh_call(nodes14, tris9, ro, rd, t_min, t_max, active, *,
+                    node_segs, tri_segs, block_rows, stack_size, max_leaf,
+                    any_hit):
+    B = block_rows
+    R = ro.shape[0]
+    rows = _ceil_to(R, B * LANES) // LANES
+    grid = rows // B
+
+    def prep(x, fill):
+        flat = jnp.full((rows * LANES,), fill, x.dtype).at[:R].set(x)
+        return flat.reshape(rows, LANES)
+
+    args = [
+        prep(ro[:, 0], 0.0), prep(ro[:, 1], 0.0), prep(ro[:, 2], 0.0),
+        prep(rd[:, 0], 1.0), prep(rd[:, 1], 0.0), prep(rd[:, 2], 0.0),
+        prep(t_min, 0.0), prep(t_max, 0.0),
+        prep(active.astype(jnp.int32), 0),
+    ]
+    ray_spec = pl.BlockSpec((B, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    node_spec = pl.BlockSpec((node_segs, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec((tri_segs, LANES), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+    ]
+
+    def kern(*refs):
+        _bvh_kernel(refs, B=B, stack_size=stack_size, max_leaf=max_leaf,
+                    any_hit=any_hit)
+
+    t, prim, u, v, bf = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[node_spec] * 14 + [tri_spec] * 9 + [ray_spec] * 9,
+        out_specs=[ray_spec] * 5,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((stack_size, B, LANES), jnp.int32)],
+    )(*nodes14, *tris9, *args)
+
+    def unprep(x):
+        return x.reshape(-1)[:R]
+
+    return tuple(unprep(x) for x in (t, prim, u, v, bf))
+
+
+_NODE_KEYS = ("lo0x", "lo0y", "lo0z", "hi0x", "hi0y", "hi0z",
+              "lo1x", "lo1y", "lo1z", "hi1x", "hi1y", "hi1z",
+              "code0", "code1")
+_TRI_KEYS = ("p0x", "p0y", "p0z", "p1x", "p1y", "p1z", "p2x", "p2y", "p2z")
+
+
+def _pack_segments(col, n_seg, fill):
+    """Pad a 1-D column to n_seg*128 entries and lay it out (n_seg, 128):
+    entry e at [e >> 7, e & 127] — the _gather layout."""
+    col = jnp.asarray(col)
+    out = jnp.full((n_seg * LANES,), fill, col.dtype)
+    return out.at[: col.shape[0]].set(col).reshape(n_seg, LANES)
+
+
+def _pad_tables(bvh_soa, tri_soa, node_segs, tri_segs):
+    nodes14 = []
+    for k in _NODE_KEYS:
+        if k.startswith("code"):
+            fill = _EMPTY
+        elif k.startswith("hi"):
+            fill = jnp.float32(1.0)
+        else:
+            fill = jnp.float32(0.0)
+        nodes14.append(_pack_segments(bvh_soa[k], node_segs, fill))
+    tris9 = [_pack_segments(tri_soa[k], tri_segs, jnp.float32(0.0))
+             for k in _TRI_KEYS]
+    return nodes14, tris9
+
+
+def trace_bvh_pallas(bvh_soa, tri_soa, ro, rd, t_min, t_max, active, *,
+                     max_leaf, stack_size, any_hit=False, block_rows=256):
+    """Stack-based BVH2 traversal fully in VMEM.  Scene node/triangle columns
+    are packed into 128-entry gather segments; rays stream through in
+    (block_rows × 128)-lane blocks, each exiting its while-loop as soon as
+    every ray in the block is done."""
+    sg = jax.lax.stop_gradient
+    ro, rd, t_min, t_max = sg(ro), sg(rd), sg(t_min), sg(t_max)
+    bvh_soa = jax.tree_util.tree_map(sg, bvh_soa)
+    tri_soa = jax.tree_util.tree_map(sg, tri_soa)
+    n_nodes = bvh_soa["code0"].shape[0]
+    n_tris = tri_soa["p0x"].shape[0]
+    node_segs = max(_ceil_to(n_nodes, LANES) // LANES, 1)
+    tri_segs = max(_ceil_to(n_tris, LANES) // LANES, 1)
+    assert max(n_nodes, n_tris) <= T_MAX_BVH, (n_nodes, n_tris, T_MAX_BVH)
+    nodes14, tris9 = _pad_tables(bvh_soa, tri_soa, node_segs, tri_segs)
+    t, prim, u, v, bf = _trace_bvh_call(
+        nodes14, tris9, ro, rd, t_min, t_max, active,
+        node_segs=node_segs, tri_segs=tri_segs, block_rows=block_rows,
+        stack_size=stack_size, max_leaf=max_leaf, any_hit=any_hit,
+    )
+    return Hit(t=t, prim=prim, u=u, v=v, backface=bf != 0)

@@ -140,11 +140,6 @@ def render_tile(
     seed = rng.pixel_seed(rays.px, rays.py, rand_seed)
     sample_i = jnp.asarray(iteration, jnp.uint32) - 1
 
-    env_light_pick_pdf = (
-        scene.lights["pick_pdf"][scene.env_light_index]
-        if scene.env_light_index >= 0
-        else jnp.float32(0.0)
-    )
     have_lights = scene.num_lights > 0
 
     def bounce_step(state, bounce):
@@ -196,6 +191,11 @@ def render_tile(
         # ---------- environment on miss (ShadeRef.cpp:1192-1216) ----------
         env_col = light_sampling.env_color(scene, rd)
         if settings.use_nee and scene.env_light_index >= 0:
+            # pick probability of the env light as seen from the previous
+            # path vertex (hierarchical when the light tree is on)
+            env_light_pick_pdf = light_sampling.light_pick_pdf(
+                scene, ro, jnp.full((R,), scene.env_light_index, jnp.int32)
+            )
             if scene.env_tab_h > 0:
                 light_pdf = light_sampling.env_hit_pdf(scene, rd) * env_light_pick_pdf
             else:
@@ -249,7 +249,7 @@ def render_tile(
         mis_w = jnp.ones((R,), jnp.float32)
         if settings.use_nee and have_lights:
             lid = scene.tri_light[jnp.maximum(hit.prim, 0)]
-            lpick = scene.lights["pick_pdf"][jnp.maximum(lid, 0)]
+            lpick = light_sampling.light_pick_pdf(scene, ro, lid)
             light_pdf = light_sampling.tri_light_hit_pdf(
                 scene, hit.prim, hit.t, rd, lpick
             )

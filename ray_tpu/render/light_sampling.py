@@ -76,6 +76,91 @@ def _map_to_cone(r1, r2, axis, radius):
     return axis + radius[..., None] * (du[..., None] * t + dv[..., None] * b)
 
 
+def _lnode_importance(lt, node, P):
+    """Importance of light-tree node rows seen from P — vectorized analogue
+    of the reference's scalar ``calc_lnode_importance``
+    (internal/CoreRef.cpp:870-893): flux attenuated by the node's emission
+    cone (axis/ω_n/ω_e) and 1/d², or plain flux for infinite lights."""
+    lo = lt["lo"][node]
+    hi = lt["hi"][node]
+    axis = lt["axis"][node]
+    flux = lt["flux"][node]
+    omega_n = lt["omega_n"][node]
+    omega_e = lt["omega_e"][node]
+
+    local = lo[..., 0] > -MAX_DIST
+    v = P - 0.5 * (lo + hi)
+    ext = hi - lo
+    extent = 0.5 * jnp.sqrt(jnp.maximum(dot(ext, ext, False), 0.0))
+    v_len2 = jnp.maximum(dot(v, v, False), 1e-12)
+    v_len = jnp.sqrt(v_len2)
+    omega_u = jnp.arctan2(extent, v_len) + 5e-6
+    cos_o = jnp.minimum(dot(axis, v, False) / v_len, 1.0)
+    omega = jnp.arccos(jnp.clip(cos_o, -1.0, 1.0)) - 7e-5
+    omega_ = jnp.maximum(0.0, omega - omega_n - omega_u)
+    mul = jnp.where(omega_ < omega_e, jnp.cos(omega_) + 0.057, 0.0)
+    return jnp.where(local, flux * mul / v_len2, flux)
+
+
+def pick_light_tree(scene, P, u):
+    """Stochastic top-down descent through the binary light tree — the
+    binary-tree analogue of the reference's 8-wide descent in
+    ``SampleLightSource`` (internal/CoreRef.cpp:3271-3309).
+
+    Returns (light_idx i32, pick_pdf f32, rescaled u).  pick_pdf == 0 marks
+    a failed descent (zero importance subtree)."""
+    lt = scene.light_tree
+    node = jnp.zeros(P.shape[:-1], jnp.int32)
+    pdf = jnp.ones(P.shape[:-1], jnp.float32)
+    failed = jnp.zeros(P.shape[:-1], jnp.bool_)
+    for _ in range(scene.light_tree_depth):
+        li = lt["left"][node]
+        ri = lt["right"][node]
+        internal = li >= 0
+        imp_l = _lnode_importance(lt, jnp.maximum(li, 0), P)
+        imp_r = _lnode_importance(lt, jnp.maximum(ri, 0), P)
+        total = imp_l + imp_r
+        failed = failed | (internal & (total <= 0.0))
+        p_l = safe_div_pos(imp_l, total)
+        go_left = u < p_l
+        p_take = jnp.where(go_left, p_l, 1.0 - p_l)
+        u_new = jnp.where(
+            go_left,
+            safe_div_pos(u, p_l),
+            safe_div_pos(u - p_l, 1.0 - p_l),
+        )
+        u = jnp.where(internal, jnp.clip(u_new, 0.0, 0.9999999), u)
+        node = jnp.where(internal, jnp.where(go_left, li, ri), node)
+        pdf = jnp.where(internal, pdf * p_take, pdf)
+    light = ~lt["left"][node]  # leaf rows encode ~light_index
+    pdf = jnp.where(failed, 0.0, pdf)
+    return light, pdf, u
+
+
+def light_pick_pdf(scene, P, light_idx):
+    """Probability that NEE light picking selects ``light_idx`` from a
+    shading point P: leaf→root re-walk of the tree when hierarchical NEE is
+    on (the MIS factor the reference recomputes in ``EvalTriLightFactor``,
+    internal/CoreRef.cpp:4594-4692), else the static CDF pick pdf."""
+    safe_idx = jnp.clip(light_idx, 0, scene.lights["type"].shape[0] - 1)
+    if scene.light_tree_depth <= 0:
+        return scene.lights["pick_pdf"][safe_idx]
+    lt = scene.light_tree
+    node = lt["leaf_node"][safe_idx]
+    pdf = jnp.ones(node.shape, jnp.float32)
+    for _ in range(scene.light_tree_depth):
+        par = lt["parent"][node]
+        has = par >= 0
+        pn = jnp.maximum(par, 0)
+        imp_l = _lnode_importance(lt, lt["left"][pn], P)
+        imp_r = _lnode_importance(lt, lt["right"][pn], P)
+        total = imp_l + imp_r
+        mine = jnp.where(lt["side"][node] == 1, imp_r, imp_l)
+        pdf = jnp.where(has, pdf * safe_div_pos(mine, total), pdf)
+        node = jnp.where(has, pn, node)
+    return pdf
+
+
 def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
     """Sample one light for each of R shading points.
 
@@ -85,13 +170,18 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
     R = P.shape[0]
     nl = lights["type"].shape[0]
 
-    # pick by CDF
-    idx = jnp.searchsorted(lights["pick_cdf"], rand_pick, side="right").astype(jnp.int32)
-    idx = jnp.clip(idx, 0, nl - 1)
-    pick_pdf = lights["pick_pdf"][idx]
-    # rescale the pick random for reuse inside the light (env qtree later)
-    cdf_lo = jnp.where(idx > 0, lights["pick_cdf"][jnp.maximum(idx - 1, 0)], 0.0)
-    u1 = saturate(safe_div_pos(rand_pick - cdf_lo, pick_pdf))
+    if scene.light_tree_depth > 0:
+        # hierarchical pick (reference USE_HIERARCHICAL_NEE path)
+        idx, pick_pdf, u1 = pick_light_tree(scene, P, rand_pick)
+        idx = jnp.clip(idx, 0, nl - 1)
+    else:
+        # pick by CDF (flux-proportional limit of the tree)
+        idx = jnp.searchsorted(lights["pick_cdf"], rand_pick, side="right").astype(jnp.int32)
+        idx = jnp.clip(idx, 0, nl - 1)
+        pick_pdf = lights["pick_pdf"][idx]
+        # rescale the pick random for reuse inside the light
+        cdf_lo = jnp.where(idx > 0, lights["pick_cdf"][jnp.maximum(idx - 1, 0)], 0.0)
+        u1 = saturate(safe_div_pos(rand_pick - cdf_lo, pick_pdf))
 
     ltype = lights["type"][idx]
     lcol = lights["col"][idx]
@@ -446,7 +536,6 @@ def intersect_area_lights(scene, ro, rd, t_max):
         if not visible or ltype in (LightType.TRI, LightType.ENV, LightType.DIR):
             continue
         col_pos = L["pos"][i]
-        pick = L["pick_pdf"][i]
 
         if ltype == LightType.SPHERE:
             radius = L["radius"][i]
@@ -466,7 +555,7 @@ def intersect_area_lights(scene, ro, rd, t_max):
             area = PI * disk_r * disk_r
             ln = -oc / d[:, None]
             cos_theta = dot(rd, ln, False)
-            pdf = safe_div_pos(disk_dist * disk_dist, area * jnp.maximum(cos_theta, 1e-9)) * pick
+            pdf = safe_div_pos(disk_dist * disk_dist, area * jnp.maximum(cos_theta, 1e-9))
             # spot falloff (reference ShadeRef.cpp:1152-1163)
             spot_cos = L["spot_cos"][i]
             sdot = -dot(rd, L["dir"][i][None, :], False)
@@ -510,7 +599,7 @@ def intersect_area_lights(scene, ro, rd, t_max):
                 area = 0.25 * PI * L["width"][i] * L["height"][i]
             ok = facing & (t_hit > 0.0) & (t_hit < t_max) & inside
             cos_theta = jnp.abs(denom)
-            pdf = safe_div_pos(t_hit * t_hit, area * jnp.maximum(cos_theta, 1e-9)) * pick
+            pdf = safe_div_pos(t_hit * t_hit, area * jnp.maximum(cos_theta, 1e-9))
             spot = jnp.ones((R,), jnp.float32)
         elif ltype == LightType.LINE:
             # finite cylinder of radius r around axis v through pos
@@ -532,7 +621,7 @@ def intersect_area_lights(scene, ro, rd, t_max):
             )
             area = 2.0 * PI * r_cyl * h
             cos_theta = 1.0 - jnp.abs(dot(rd, axis[None, :], False))
-            pdf = safe_div_pos(t_hit * t_hit, area * jnp.maximum(cos_theta, 1e-9)) * pick
+            pdf = safe_div_pos(t_hit * t_hit, area * jnp.maximum(cos_theta, 1e-9))
             spot = jnp.ones((R,), jnp.float32)
         else:
             continue
@@ -543,6 +632,10 @@ def intersect_area_lights(scene, ro, rd, t_max):
         best_pdf = jnp.where(closer, pdf, best_pdf)
         best_spot = jnp.where(closer, spot, best_spot)
 
+    # fold in the pick probability from the ray origin (hierarchical when the
+    # light tree is on) — the reference does the same inside
+    # Evaluate_LightColor via EvalTriLightFactor-style re-descent
+    best_pdf = best_pdf * light_pick_pdf(scene, ro, best_i)
     return best_t, best_i, best_pdf, best_spot
 
 

@@ -73,6 +73,8 @@ class SceneFlat:
     env_marginal_cdf: Any  # (H,) f32
     env_cond_cdf: Any      # (H*W,) f32 row-major
     env_pdf: Any           # (H*W,) f32 solid-angle pdf
+    # hierarchical light tree (scene/light_tree.py); dummy rows when off
+    light_tree: Any        # dict of (N,)/(N,3) node columns + per-light links
     # static metadata
     max_leaf: int = dataclasses.field(metadata=dict(static=True))
     num_lights: int = dataclasses.field(metadata=dict(static=True))
@@ -86,6 +88,10 @@ class SceneFlat:
     # env importance-table dims (0 when no env map)
     env_tab_w: int = dataclasses.field(metadata=dict(static=True))
     env_tab_h: int = dataclasses.field(metadata=dict(static=True))
+    # light-tree depth in edges; 0 = hierarchical NEE off (CDF picking)
+    light_tree_depth: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
 
     @property
     def num_tris(self) -> int:
@@ -237,7 +243,8 @@ class Scene:
         return params
 
     # -- finalize ----------------------------------------------------------
-    def finalize(self, max_leaf: int = 4) -> SceneFlat:
+    def finalize(self, max_leaf: int = 4,
+                 light_tree_min_lights: int = 5) -> SceneFlat:
         """Compile to a SceneFlat (the analogue of Scene::Finalize,
         SceneCPU.cpp:882: env light registration + BVH + light table)."""
         if not self._instances:
@@ -331,6 +338,49 @@ class Scene:
         lights = pack_lights(light_descs, tri_areas)
         textures = self._textures.pack()
 
+        # hierarchical light tree (USE_HIERARCHICAL_NEE analogue; reference
+        # RebuildLightTree_nolock, SceneCPU.cpp:1214).  Below the threshold a
+        # flux-proportional CDF pick has near-identical variance and skips
+        # the per-bounce tree walks (importance evals cost arccos/atan2 at
+        # wavefront scale) — a TPU-worthwhile trade the reference can't make
+        # because its descent is per-ray scalar code either way.
+        light_tree_depth = 0
+        if len(light_descs) >= light_tree_min_lights:
+            from ray_tpu.scene.light_tree import (
+                build_light_tree,
+                light_bounds_and_cones,
+            )
+
+            env_mean_lum = 1.0
+            if self.env_map >= 0:
+                img = self._textures.get_image(self.env_map)
+                env_mean_lum = float(
+                    np.mean(
+                        0.212671 * img[..., 0]
+                        + 0.715160 * img[..., 1]
+                        + 0.072169 * img[..., 2]
+                    )
+                )
+            bounds = light_bounds_and_cones(
+                light_descs, vertices, tri_vidx, tri_areas,
+                env_mean_lum=env_mean_lum,
+            )
+            light_tree, light_tree_depth = build_light_tree(bounds)
+        else:
+            light_tree = {
+                "lo": np.zeros((1, 3), np.float32),
+                "hi": np.zeros((1, 3), np.float32),
+                "axis": np.zeros((1, 3), np.float32),
+                "flux": np.zeros(1, np.float32),
+                "omega_n": np.zeros(1, np.float32),
+                "omega_e": np.zeros(1, np.float32),
+                "left": np.full(1, -1, np.int32),
+                "right": np.full(1, -1, np.int32),
+                "parent": np.full(1, -1, np.int32),
+                "side": np.zeros(1, np.int32),
+                "leaf_node": np.zeros(max(len(light_descs), 1), np.int32),
+            }
+
         # env importance tables (scene/env.py; reference builds a luminance
         # quadtree here instead — SceneCPU.cpp:1058 PrepareEnvMapQTree)
         if self.env_map >= 0:
@@ -367,6 +417,7 @@ class Scene:
             "env_marginal_cdf": env_marginal,
             "env_cond_cdf": env_cond,
             "env_pdf": env_pdf,
+            "light_tree": light_tree,
         })
         return SceneFlat(
             **dev,
@@ -381,6 +432,7 @@ class Scene:
             ),
             env_tab_w=env_tab_w,
             env_tab_h=env_tab_h,
+            light_tree_depth=light_tree_depth,
         )
 
 
