@@ -47,6 +47,18 @@ class Hit(NamedTuple):
     backface: jnp.ndarray   # bool
 
 
+class HitInst(NamedTuple):
+    """Two-level hit record: Hit plus the instance index (the reference's
+    ``hit_data_t.obj_index``, internal/CoreRef.h:89)."""
+
+    t: jnp.ndarray
+    prim: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
+    backface: jnp.ndarray
+    inst: jnp.ndarray       # i32 instance index (-1 = miss)
+
+
 def _decode_leaf(code):
     v = -code - 1
     return v >> LEAF_COUNT_BITS, v & LEAF_COUNT_MASK
@@ -105,7 +117,7 @@ _EMPTY = jnp.int32(-0x80000000)  # stack-empty sentinel (never a valid code)
 
 
 def _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf, stack_size,
-              any_hit):
+              any_hit, tri_vis=None, ray_mask=None):
     """Register-cached traversal: the current entry lives in ``cur`` and the
     stack only holds deferred far children.  Pushes/pops use one-hot
     select/reduce over the small S axis instead of scatter/gather — scatters
@@ -180,6 +192,10 @@ def _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf, stack_size,
         for k in range(max_leaf):
             valid = is_leaf & (k < count)
             tri = jnp.where(valid, first + k, 0)
+            if tri_vis is not None:
+                # per-ray-type visibility (reference mesh_instance_t
+                # ray_visibility test, internal/CoreRef.cpp:1890+)
+                valid = valid & ((tri_vis[tri] & ray_mask) != 0)
             th, tt, tu, tv, tb = _tri_c(
                 ox, oy, oz, dx, dy, dz,
                 tris["p0x"][tri], tris["p0y"][tri], tris["p0z"][tri],
@@ -237,7 +253,8 @@ def _pallas_mode(n_nodes: int, n_tris: int) -> str:
 
 @partial(jax.jit, static_argnames=("max_leaf", "stack_size"))
 def trace_closest_soa(bvh, tris, ro, rd, t_min, t_max, active,
-                      max_leaf: int = 4, stack_size: int = MAX_STACK_SIZE):
+                      max_leaf: int = 4, stack_size: int = MAX_STACK_SIZE,
+                      tri_vis=None, ray_mask=None):
     """Closest-hit trace against SoA-packed BVH + triangle columns.
 
     Dispatches to the Pallas VMEM kernels on TPU for scenes that fit
@@ -248,7 +265,20 @@ def trace_closest_soa(bvh, tris, ro, rd, t_min, t_max, active,
       bvh: dict of (N,) columns from ``pack_bvh_soa``.
       tris: dict of (T,) columns from ``pack_tri_soa`` (leaf order).
       ro, rd: (R, 3) f32; t_min, t_max: (R,) f32; active: (R,) bool.
+      tri_vis/ray_mask: optional (T,)/(R,) i32 per-ray-type visibility —
+        triangles whose mask shares no bit with the ray's are skipped.
     """
+    if tri_vis is not None:
+        hit = _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf,
+                        stack_size, any_hit=False, tri_vis=tri_vis,
+                        ray_mask=ray_mask)
+        return Hit(
+            t=jax.lax.stop_gradient(hit.t),
+            prim=hit.prim,
+            u=jax.lax.stop_gradient(hit.u),
+            v=jax.lax.stop_gradient(hit.v),
+            backface=hit.backface,
+        )
     mode = _pallas_mode(bvh["code0"].shape[0], tris["p0x"].shape[0])
     if mode == "brute":
         from ray_tpu.ops.traverse_pallas import trace_brute_pallas
@@ -274,13 +304,19 @@ def trace_closest_soa(bvh, tris, ro, rd, t_min, t_max, active,
 
 @partial(jax.jit, static_argnames=("max_leaf", "stack_size"))
 def trace_occlusion_soa(bvh, tris, ro, rd, t_min, t_max, active,
-                        max_leaf: int = 4, stack_size: int = MAX_STACK_SIZE):
+                        max_leaf: int = 4, stack_size: int = MAX_STACK_SIZE,
+                        tri_vis=None, ray_mask=None):
     """Any-hit (shadow) trace: returns (R,) bool ``occluded``.
 
     Early-out per ray mirroring the reference's AnyHit traversal
     (internal/CoreRef.cpp:2135).  Alpha-tested/transparent occluders are
     handled a level up (shade stage); this kernel treats triangles as solid.
     """
+    if tri_vis is not None:
+        hit = _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf,
+                        stack_size, any_hit=True, tri_vis=tri_vis,
+                        ray_mask=ray_mask)
+        return hit.prim >= 0
     mode = _pallas_mode(bvh["code0"].shape[0], tris["p0x"].shape[0])
     if mode == "brute":
         from ray_tpu.ops.traverse_pallas import trace_brute_pallas
@@ -371,3 +407,204 @@ def trace_closest_brute(vertices, tri_vidx, ro, rd, t_min, t_max, active):
         v=jnp.where(has, v[r, best], 0.0),
         backface=jnp.where(has, bf[r, best], False),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-level TLAS/BLAS traversal with per-instance transforms.
+#
+# TPU re-design of the reference's Traverse_TLAS_WithStack_* →
+# Traverse_BLAS_* nesting (internal/CoreRef.cpp:1890-2740): instead of a
+# nested loop, one unified wavefront step machine walks a single code space.
+# Node columns hold the TLAS first, then every BLAS (child codes
+# pre-offset); TLAS leaves encode instance indices (INST_LEAF_FLAG).  When a
+# lane enters an instance it (a) checks the instance's per-ray-type
+# visibility mask, (b) pushes a RESTORE marker, (c) transforms its ray into
+# object space with the instance's inverse transform and jumps to the BLAS
+# root.  LIFO order guarantees every BLAS entry pops before the marker, so
+# popping the marker restores the world-space ray.  Object-space directions
+# are NOT normalized, which keeps the ray parameter t identical in both
+# spaces (hit.t is world-metric even under non-uniform instance scale).
+# --------------------------------------------------------------------------
+
+INST_LEAF_FLAG = 1 << 28  # TLAS leaf marker inside the shared code space
+_RESTORE = jnp.int32(-0x7ffffffe)  # pop → restore world-space ray
+
+
+def _xform_dir(inst, ii, x, y, z):
+    """Apply the 3×3 part of the per-instance inverse transform."""
+    ox = inst["inv00"][ii] * x + inst["inv01"][ii] * y + inst["inv02"][ii] * z
+    oy = inst["inv10"][ii] * x + inst["inv11"][ii] * y + inst["inv12"][ii] * z
+    oz = inst["inv20"][ii] * x + inst["inv21"][ii] * y + inst["inv22"][ii] * z
+    return ox, oy, oz
+
+
+def _traverse_tlas(nodes, tris, inst, ro, rd, t_min, t_max, active, ray_mask,
+                   max_leaf, stack_size, any_hit):
+    R = ro.shape[0]
+    wox, woy, woz = ro[:, 0], ro[:, 1], ro[:, 2]
+    wdx, wdy, wdz = rd[:, 0], rd[:, 1], rd[:, 2]
+    wix, wiy, wiz = _safe_inv(wdx), _safe_inv(wdy), _safe_inv(wdz)
+    if ray_mask is None:
+        ray_mask = jnp.full((R,), 0x7fffffff, jnp.int32)
+
+    s_iota = jnp.arange(stack_size, dtype=jnp.int32)[:, None]
+
+    stack0 = jnp.full((stack_size, R), _EMPTY, jnp.int32)
+    sp0 = jnp.zeros((R,), jnp.int32)
+    cur0 = jnp.where(active, 0, _EMPTY)  # TLAS root is node 0
+    inst0 = jnp.zeros((R,), jnp.int32)
+
+    hit0 = HitInst(
+        t=jnp.asarray(t_max, jnp.float32),
+        prim=jnp.full((R,), -1, jnp.int32),
+        u=jnp.zeros((R,), jnp.float32),
+        v=jnp.zeros((R,), jnp.float32),
+        backface=jnp.zeros((R,), jnp.bool_),
+        inst=jnp.full((R,), -1, jnp.int32),
+    )
+
+    def cond(state):
+        cur = state[2]
+        return jnp.any(cur != _EMPTY)
+
+    def body(state):
+        (stack, sp, cur, cur_inst,
+         ox, oy, oz, dx, dy, dz, ix, iy, iz, hit) = state
+
+        is_node = cur >= 0
+        leafish = (cur < 0) & (cur != _EMPTY) & (cur != _RESTORE)
+        v = jnp.where(leafish, -cur - 1, 0)
+        is_inst = leafish & ((v & INST_LEAF_FLAG) != 0)
+        is_tri = leafish & (~is_inst)
+        is_restore = cur == _RESTORE
+        node = jnp.where(is_node, cur, 0)
+
+        # ---- internal node (TLAS or BLAS — same columns, current-space ray)
+        h0, t0 = _aabb_c(
+            ox, oy, oz, ix, iy, iz,
+            nodes["lo0x"][node], nodes["lo0y"][node], nodes["lo0z"][node],
+            nodes["hi0x"][node], nodes["hi0y"][node], nodes["hi0z"][node],
+            t_min, hit.t,
+        )
+        h1, t1 = _aabb_c(
+            ox, oy, oz, ix, iy, iz,
+            nodes["lo1x"][node], nodes["lo1y"][node], nodes["lo1z"][node],
+            nodes["hi1x"][node], nodes["hi1y"][node], nodes["hi1z"][node],
+            t_min, hit.t,
+        )
+        c0 = nodes["code0"][node]
+        c1 = nodes["code1"][node]
+        near_is_0 = t0 <= t1
+        near_code = jnp.where(near_is_0, c0, c1)
+        far_code = jnp.where(near_is_0, c1, c0)
+        near_hit = jnp.where(near_is_0, h0, h1) & is_node
+        far_hit = jnp.where(near_is_0, h1, h0) & is_node
+        push_far = near_hit & far_hit
+        from_node = jnp.where(
+            near_hit, near_code, jnp.where(far_hit, far_code, _EMPTY)
+        )
+
+        # ---- instance leaf: visibility test + enter BLAS ----
+        ii = jnp.where(is_inst, v & (INST_LEAF_FLAG - 1), 0)
+        enter = is_inst & ((inst["vis"][ii] & ray_mask) != 0)
+        eox, eoy, eoz = _xform_dir(inst, ii, wox, woy, woz)
+        eox = eox + inst["invtx"][ii]
+        eoy = eoy + inst["invty"][ii]
+        eoz = eoz + inst["invtz"][ii]
+        edx, edy, edz = _xform_dir(inst, ii, wdx, wdy, wdz)
+        from_inst = jnp.where(enter, inst["blas_root"][ii], _EMPTY)
+
+        # ---- push: far child (internal) or RESTORE marker (enter) ----
+        push = push_far | enter
+        push_val = jnp.where(enter, _RESTORE, far_code)
+        stack = jnp.where((s_iota == sp[None, :]) & push[None, :],
+                          push_val[None, :], stack)
+        sp = sp + push.astype(jnp.int32)
+
+        # ---- current-space ray update (enter → object, restore → world) --
+        ox = jnp.where(enter, eox, jnp.where(is_restore, wox, ox))
+        oy = jnp.where(enter, eoy, jnp.where(is_restore, woy, oy))
+        oz = jnp.where(enter, eoz, jnp.where(is_restore, woz, oz))
+        dx = jnp.where(enter, edx, jnp.where(is_restore, wdx, dx))
+        dy = jnp.where(enter, edy, jnp.where(is_restore, wdy, dy))
+        dz = jnp.where(enter, edz, jnp.where(is_restore, wdz, dz))
+        ix = jnp.where(enter, _safe_inv(edx), jnp.where(is_restore, wix, ix))
+        iy = jnp.where(enter, _safe_inv(edy), jnp.where(is_restore, wiy, iy))
+        iz = jnp.where(enter, _safe_inv(edz), jnp.where(is_restore, wiz, iz))
+        cur_inst = jnp.where(enter, ii, cur_inst)
+
+        # ---- triangle leaf (object-space ray, world-metric t) ----
+        first, count = _decode_leaf(jnp.where(is_tri, cur, -1))
+        t_best, prim_best, u_best, v_best, bf_best, inst_best = (
+            hit.t, hit.prim, hit.u, hit.v, hit.backface, hit.inst,
+        )
+        for k in range(max_leaf):
+            valid = is_tri & (k < count)
+            tri = jnp.where(valid, first + k, 0)
+            th, tt, tu, tv, tb = _tri_c(
+                ox, oy, oz, dx, dy, dz,
+                tris["p0x"][tri], tris["p0y"][tri], tris["p0z"][tri],
+                tris["p1x"][tri], tris["p1y"][tri], tris["p1z"][tri],
+                tris["p2x"][tri], tris["p2y"][tri], tris["p2z"][tri],
+                t_min, t_max if any_hit else t_best,
+            )
+            take = th & valid
+            t_best = jnp.where(take, tt, t_best)
+            prim_best = jnp.where(take, tri, prim_best)
+            u_best = jnp.where(take, tu, u_best)
+            v_best = jnp.where(take, tv, v_best)
+            bf_best = jnp.where(take, tb, bf_best)
+            inst_best = jnp.where(take, cur_inst, inst_best)
+
+        next_cur = jnp.where(
+            is_node, from_node, jnp.where(enter, from_inst, _EMPTY)
+        )
+        if any_hit:
+            done = prim_best >= 0
+            sp = jnp.where(done, 0, sp)
+            next_cur = jnp.where(done, _EMPTY, next_cur)
+
+        need_pop = (next_cur == _EMPTY) & (sp > 0)
+        top = sp - 1
+        popped = jnp.max(
+            jnp.where(s_iota == top[None, :], stack, _EMPTY), axis=0
+        )
+        next_cur = jnp.where(need_pop, popped, next_cur)
+        sp = jnp.where(need_pop, sp - 1, sp)
+
+        new_hit = HitInst(t=t_best, prim=prim_best, u=u_best, v=v_best,
+                          backface=bf_best, inst=inst_best)
+        return (stack, sp, next_cur, cur_inst,
+                ox, oy, oz, dx, dy, dz, ix, iy, iz, new_hit)
+
+    state0 = (stack0, sp0, cur0, inst0,
+              wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz, hit0)
+    state = jax.lax.while_loop(cond, body, state0)
+    return state[-1]
+
+
+@partial(jax.jit, static_argnames=("max_leaf", "stack_size"))
+def trace_closest_tlas(nodes, tris, inst, ro, rd, t_min, t_max, active,
+                       ray_mask=None, max_leaf: int = 4,
+                       stack_size: int = MAX_STACK_SIZE):
+    """Two-level closest-hit trace.  Returns a :class:`HitInst`."""
+    hit = _traverse_tlas(nodes, tris, inst, ro, rd, t_min, t_max, active,
+                         ray_mask, max_leaf, stack_size, any_hit=False)
+    return HitInst(
+        t=jax.lax.stop_gradient(hit.t),
+        prim=hit.prim,
+        u=jax.lax.stop_gradient(hit.u),
+        v=jax.lax.stop_gradient(hit.v),
+        backface=hit.backface,
+        inst=hit.inst,
+    )
+
+
+@partial(jax.jit, static_argnames=("max_leaf", "stack_size"))
+def trace_occlusion_tlas(nodes, tris, inst, ro, rd, t_min, t_max, active,
+                         ray_mask=None, max_leaf: int = 4,
+                         stack_size: int = MAX_STACK_SIZE):
+    """Two-level any-hit trace: returns (R,) bool ``occluded``."""
+    hit = _traverse_tlas(nodes, tris, inst, ro, rd, t_min, t_max, active,
+                         ray_mask, max_leaf, stack_size, any_hit=True)
+    return hit.prim >= 0

@@ -32,10 +32,22 @@ from ray_tpu.ops.linalg import (
     power_heuristic,
     safe_div_pos,
 )
-from ray_tpu.ops.traverse import trace_closest_soa, trace_occlusion_soa
+from ray_tpu.ops.traverse import (
+    trace_closest_soa,
+    trace_closest_tlas,
+    trace_occlusion_soa,
+    trace_occlusion_tlas,
+)
 from ray_tpu.render import light_sampling, surface as surface_mod, uber
 from ray_tpu.render.bsdf.microfacet import PI
 from ray_tpu.render.raygen import generate_primary_rays
+from ray_tpu.scene.visibility import (
+    RAY_CAMERA,
+    RAY_DIFFUSE,
+    RAY_REFR,
+    RAY_SHADOW,
+    RAY_SPECULAR,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -141,19 +153,53 @@ def render_tile(
     sample_i = jnp.asarray(iteration, jnp.uint32) - 1
 
     have_lights = scene.num_lights > 0
+    is_tlas = scene.mode == "tlas"
+
+    def _trace_closest(ro, rd, t_min, t_max, active, mask):
+        """Mode dispatch: flattened single-BVH vs two-level TLAS/BLAS.
+        Returns (hit, inst) — inst is None in flatten mode."""
+        if is_tlas:
+            h = trace_closest_tlas(
+                scene.bvh_soa, scene.tri_soa, scene.inst,
+                ro, rd, t_min, t_max, active,
+                ray_mask=mask if scene.has_visibility else None,
+                max_leaf=scene.max_leaf, stack_size=scene.stack_size,
+            )
+            return h, h.inst
+        h = trace_closest_soa(
+            scene.bvh_soa, scene.tri_soa, ro, rd, t_min, t_max, active,
+            max_leaf=scene.max_leaf, stack_size=scene.stack_size,
+            tri_vis=scene.tri_vis if scene.has_visibility else None,
+            ray_mask=mask if scene.has_visibility else None,
+        )
+        return h, None
+
+    def _trace_occlusion(ro, rd, t_min, t_max, active):
+        mask = jnp.full((R,), RAY_SHADOW, jnp.int32)
+        if is_tlas:
+            return trace_occlusion_tlas(
+                scene.bvh_soa, scene.tri_soa, scene.inst,
+                ro, rd, t_min, t_max, active,
+                ray_mask=mask if scene.has_visibility else None,
+                max_leaf=scene.max_leaf, stack_size=scene.stack_size,
+            )
+        return trace_occlusion_soa(
+            scene.bvh_soa, scene.tri_soa, ro, rd, t_min, t_max, active,
+            max_leaf=scene.max_leaf, stack_size=scene.stack_size,
+            tri_vis=scene.tri_vis if scene.has_visibility else None,
+            ray_mask=mask if scene.has_visibility else None,
+        )
 
     def bounce_step(state, bounce):
         (ro, rd, t_max, throughput, bsdf_pdf, active, depth, ior_stack,
-         accum, aux_base, aux_dn) = state
+         accum, aux_base, aux_dn, ray_mask) = state
         is_first = bounce == 0
         limit0 = jnp.where(
             is_first, settings.clamp_direct, settings.clamp_indirect
         )
 
-        hit = trace_closest_soa(
-            scene.bvh_soa, scene.tri_soa,
-            ro, rd, jnp.zeros((R,), jnp.float32), t_max, active,
-            max_leaf=scene.max_leaf, stack_size=scene.stack_size,
+        hit, hit_inst = _trace_closest(
+            ro, rd, jnp.zeros((R,), jnp.float32), t_max, active, ray_mask
         )
         miss = hit.prim < 0
         total_depth = depth[:, 0] + depth[:, 1] + depth[:, 2]
@@ -214,7 +260,8 @@ def render_tile(
 
         # ---------- surface attributes ----------
         surf = surface_mod.compute_surface(
-            scene, hit.prim, hit.u, hit.v, hit.backface, ro, rd, hit.t
+            scene, hit.prim, hit.u, hit.v, hit.backface, ro, rd, hit.t,
+            inst=hit_inst,
         )
         mat_id = surface_mod.pick_hit_material(scene, hit.prim, hit.backface)
         alive = alive & (mat_id >= 0)
@@ -248,10 +295,10 @@ def render_tile(
         )
         mis_w = jnp.ones((R,), jnp.float32)
         if settings.use_nee and have_lights:
-            lid = scene.tri_light[jnp.maximum(hit.prim, 0)]
+            lid = surface_mod.hit_light_id(scene, hit.prim, hit_inst)
             lpick = light_sampling.light_pick_pdf(scene, ro, lid)
             light_pdf = light_sampling.tri_light_hit_pdf(
-                scene, hit.prim, hit.t, rd, lpick
+                scene, hit.prim, hit.t, rd, lpick, light_id=lid
             )
             # MIS only where NEE could actually have sampled this hit: the
             # light's front side, or any side if doublesided
@@ -310,11 +357,9 @@ def render_tile(
             sh_dist = jnp.sqrt(jnp.maximum(dot(to_lp, to_lp, False), 1e-30))
             sh_d = to_lp / sh_dist[:, None]
             sh_dist = sh_dist * ls.dist_mul
-            occluded = trace_occlusion_soa(
-                scene.bvh_soa, scene.tri_soa,
+            occluded = _trace_occlusion(
                 sh_o, sh_d, jnp.zeros((R,), jnp.float32), sh_dist * 0.999,
-                nee_valid & ls.cast_shadow, max_leaf=scene.max_leaf,
-                stack_size=scene.stack_size,
+                nee_valid & ls.cast_shadow,
             )
             visible = nee_valid & ((~ls.cast_shadow) | (~occluded))
             sh_contrib = _clamp_contribution(throughput * nee_col, limit0)
@@ -380,8 +425,18 @@ def render_tile(
         ).astype(jnp.int32)
         depth = depth + jnp.where(next_active[:, None], depth_inc, 0)
 
+        # ray type for the per-instance visibility test on the next segment
+        # (reference packs it in depth bits 28..31, CoreRef.h:253-280;
+        # transparent continuations keep the parent's type)
+        new_mask = jnp.where(
+            is_diff, RAY_DIFFUSE,
+            jnp.where(is_spec, RAY_SPECULAR,
+                      jnp.where(is_refr, RAY_REFR, ray_mask)),
+        ).astype(jnp.int32)
+        ray_mask = jnp.where(next_active, new_mask, ray_mask)
+
         new_state = (ro, rd, t_max, throughput, bsdf_pdf, next_active, depth,
-                     ior_stack, accum, aux_base, aux_dn)
+                     ior_stack, accum, aux_base, aux_dn, ray_mask)
         # per-bounce ray counts for the Mrays/s stat (closest + shadow)
         n_traced = jnp.sum(active.astype(jnp.int32))
         if settings.use_nee and have_lights:
@@ -403,6 +458,7 @@ def render_tile(
         jnp.zeros((R, 3), jnp.float32),             # accum
         jnp.zeros((R, 3), jnp.float32),             # aux base color
         jnp.zeros((R, 4), jnp.float32),             # aux depth-normal
+        jnp.full((R,), RAY_CAMERA, jnp.int32),      # ray-type visibility mask
     )
     n_iters = settings.max_total_depth + 1
     body = jax.checkpoint(bounce_step) if settings.remat else bounce_step

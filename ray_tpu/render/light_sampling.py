@@ -346,11 +346,18 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
     out_area = jnp.where(line_ok & visible, line_area, out_area)
 
     # ---- triangle — CoreRef.cpp:3507-3577 (uniform area sampling) ----
-    tri = jnp.maximum(lights["tri_index"][idx], 0)
-    tvidx = scene.tri_vidx[tri]
-    tp0 = scene.vertices[tvidx[:, 0]]
-    tp1 = scene.vertices[tvidx[:, 1]]
-    tp2 = scene.vertices[tvidx[:, 2]]
+    if getattr(scene, "mode", "flatten") == "tlas":
+        # scene.vertices are object-space under instancing; the light table
+        # carries the world-space triangle
+        tp0 = lights["tp0"][idx]
+        tp1 = lights["tp1"][idx]
+        tp2 = lights["tp2"][idx]
+    else:
+        tri = jnp.maximum(lights["tri_index"][idx], 0)
+        tvidx = scene.tri_vidx[tri]
+        tp0 = scene.vertices[tvidx[:, 0]]
+        tp1 = scene.vertices[tvidx[:, 1]]
+        tp2 = scene.vertices[tvidx[:, 2]]
     tfwd = cross(tp1 - tp0, tp2 - tp0)
     tfwd_len = jnp.sqrt(jnp.maximum(dot(tfwd, tfwd, False), 1e-30))
     tri_fwd = tfwd / tfwd_len[:, None]
@@ -639,14 +646,24 @@ def intersect_area_lights(scene, ro, rd, t_max):
     return best_t, best_i, best_pdf, best_spot
 
 
-def tri_light_hit_pdf(scene, prim, t, I, pick_pdf_of_light):
+def tri_light_hit_pdf(scene, prim, t, I, pick_pdf_of_light, light_id=None):
     """Solid-angle pdf of having NEE-sampled the emissive triangle that a
     BSDF ray just hit — for the MIS weight at emissive hits
-    (reference ShadeRef.cpp:1502-1537, uniform-area branch)."""
-    tvidx = scene.tri_vidx[jnp.maximum(prim, 0)]
-    p0 = scene.vertices[tvidx[:, 0]]
-    p1 = scene.vertices[tvidx[:, 1]]
-    p2 = scene.vertices[tvidx[:, 2]]
+    (reference ShadeRef.cpp:1502-1537, uniform-area branch).
+
+    ``light_id``: required under TLAS instancing, where the world triangle
+    lives in the light table rather than the (object-space) scene arrays.
+    """
+    if getattr(scene, "mode", "flatten") == "tlas":
+        lid = jnp.maximum(light_id, 0)
+        p0 = scene.lights["tp0"][lid]
+        p1 = scene.lights["tp1"][lid]
+        p2 = scene.lights["tp2"][lid]
+    else:
+        tvidx = scene.tri_vidx[jnp.maximum(prim, 0)]
+        p0 = scene.vertices[tvidx[:, 0]]
+        p1 = scene.vertices[tvidx[:, 1]]
+        p2 = scene.vertices[tvidx[:, 2]]
     fwd = cross(p1 - p0, p2 - p0)
     fwd_len = jnp.sqrt(jnp.maximum(dot(fwd, fwd, False), 1e-30))
     tri_fwd = fwd / fwd_len[:, None]

@@ -41,8 +41,50 @@ class Surface(NamedTuple):
     tri_area: jnp.ndarray    # (R,) world-space triangle area
 
 
-def compute_surface(scene, prim, u, v, backface, ro, rd, t):
-    """Interpolate differentiable surface attributes for hit triangles."""
+def _inst_xform_point(inst, ii, p):
+    """World-from-object point transform from per-instance columns."""
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    return jnp.stack([
+        inst["m00"][ii] * x + inst["m01"][ii] * y + inst["m02"][ii] * z
+        + inst["mtx"][ii],
+        inst["m10"][ii] * x + inst["m11"][ii] * y + inst["m12"][ii] * z
+        + inst["mty"][ii],
+        inst["m20"][ii] * x + inst["m21"][ii] * y + inst["m22"][ii] * z
+        + inst["mtz"][ii],
+    ], axis=-1)
+
+
+def _inst_xform_normal(inst, ii, n):
+    """Normal transform = (A⁻¹)ᵀ — reusing the inverse columns transposed
+    (reference mesh_instance_t.inv_xform, internal/Core.h:384)."""
+    x, y, z = n[:, 0], n[:, 1], n[:, 2]
+    return jnp.stack([
+        inst["inv00"][ii] * x + inst["inv10"][ii] * y + inst["inv20"][ii] * z,
+        inst["inv01"][ii] * x + inst["inv11"][ii] * y + inst["inv21"][ii] * z,
+        inst["inv02"][ii] * x + inst["inv12"][ii] * y + inst["inv22"][ii] * z,
+    ], axis=-1)
+
+
+def hit_light_id(scene, prim, inst=None):
+    """Light id of an emissive hit triangle (-1 if not a light).  Under TLAS
+    instancing the id is per-(instance, triangle): the instance's light base
+    plus the triangle's per-mesh emissive ordinal."""
+    safe_prim = jnp.maximum(prim, 0)
+    if scene.mode == "tlas":
+        loc = scene.tri_light_local[safe_prim]
+        base = scene.inst["light_base"][jnp.maximum(inst, 0)]
+        return jnp.where((loc >= 0) & (inst >= 0), base + loc, -1)
+    return scene.tri_light[safe_prim]
+
+
+def compute_surface(scene, prim, u, v, backface, ro, rd, t, inst=None):
+    """Interpolate differentiable surface attributes for hit triangles.
+
+    ``inst``: (R,) instance indices under TLAS instancing — vertex data is
+    object-space and gets transformed here (positions by the instance
+    matrix, normals by its inverse-transpose), keeping all downstream math
+    identical to the flattened path.
+    """
     safe_prim = jnp.maximum(prim, 0)
     vidx = scene.tri_vidx[safe_prim]          # (R, 3)
     p0 = scene.vertices[vidx[:, 0]]
@@ -54,6 +96,14 @@ def compute_surface(scene, prim, u, v, backface, ro, rd, t):
     uv0 = scene.uvs[vidx[:, 0]]
     uv1 = scene.uvs[vidx[:, 1]]
     uv2 = scene.uvs[vidx[:, 2]]
+    if scene.mode == "tlas":
+        ii = jnp.maximum(inst, 0)
+        p0 = _inst_xform_point(scene.inst, ii, p0)
+        p1 = _inst_xform_point(scene.inst, ii, p1)
+        p2 = _inst_xform_point(scene.inst, ii, p2)
+        n0 = safe_normalize(_inst_xform_normal(scene.inst, ii, n0))
+        n1 = safe_normalize(_inst_xform_normal(scene.inst, ii, n1))
+        n2 = safe_normalize(_inst_xform_normal(scene.inst, ii, n2))
 
     w = (1.0 - u - v)[:, None]
     # position from barycentrics (differentiable w.r.t. vertices), matching

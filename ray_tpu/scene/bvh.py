@@ -242,7 +242,8 @@ def build_bvh2(
     )
 
 
-def pack_bvh_soa(bvh: "BVH2") -> dict:
+def pack_node_columns(child_lo: np.ndarray, child_hi: np.ndarray,
+                      child: np.ndarray) -> dict:
     """Decompose node records into 1-D columns for the TPU traversal.
 
     On TPU the last dimension tiles to 128 lanes; a trailing ``3`` or ``2``
@@ -252,10 +253,14 @@ def pack_bvh_soa(bvh: "BVH2") -> dict:
     out = {}
     for side in range(2):
         for axis, ax in enumerate("xyz"):
-            out[f"lo{side}{ax}"] = np.ascontiguousarray(bvh.child_lo[:, side, axis])
-            out[f"hi{side}{ax}"] = np.ascontiguousarray(bvh.child_hi[:, side, axis])
-        out[f"code{side}"] = np.ascontiguousarray(bvh.child[:, side])
+            out[f"lo{side}{ax}"] = np.ascontiguousarray(child_lo[:, side, axis])
+            out[f"hi{side}{ax}"] = np.ascontiguousarray(child_hi[:, side, axis])
+        out[f"code{side}"] = np.ascontiguousarray(child[:, side])
     return out
+
+
+def pack_bvh_soa(bvh: "BVH2") -> dict:
+    return pack_node_columns(bvh.child_lo, bvh.child_hi, bvh.child)
 
 
 def pack_tri_soa(vertices: np.ndarray, tri_vidx: np.ndarray) -> dict:

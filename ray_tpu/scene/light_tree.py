@@ -90,7 +90,10 @@ def light_bounds_and_cones(descs, scene_vertices, scene_tri_vidx, tri_areas,
             on = math.pi if d.doublesided else 0.0
             oe = 0.5 * math.pi
         elif d.type == LightType.TRI:
-            p = scene_vertices[scene_tri_vidx[d.tri_index]].astype(np.float64)
+            if d.tri_verts is not None:
+                p = np.asarray(d.tri_verts, np.float64)
+            else:
+                p = scene_vertices[scene_tri_vidx[d.tri_index]].astype(np.float64)
             lo[i] = p.min(0)
             hi[i] = p.max(0)
             fwd = np.cross(p[1] - p[0], p[2] - p[0])

@@ -50,6 +50,10 @@ class LightDesc:
     height: float = 1.0
     # tri
     tri_index: int = -1
+    # world-space triangle vertices (3,3) for TRI lights; set at finalize so
+    # light sampling / light-tree bounds don't depend on the scene arrays'
+    # space (object space under TLAS instancing)
+    tri_verts: object = None
     # transform for area lights: position + axes
     axis_u: tuple = (1.0, 0.0, 0.0)
     axis_v: tuple = (0.0, 0.0, 1.0)
@@ -126,6 +130,20 @@ def pack_lights(descs: list, tri_areas=None) -> dict:
         ),
         "spot_blend": np.array([d.spot_blend for d in descs], np.float32),
         "tri_index": np.array([d.tri_index for d in descs], np.int32),
+        # world-space tri verts (zeros for non-TRI lights) — the gather
+        # source for TRI sampling under TLAS instancing
+        "tp0": np.array(
+            [np.asarray(d.tri_verts)[0] if d.tri_verts is not None
+             else (0.0, 0.0, 0.0) for d in descs], np.float32,
+        ),
+        "tp1": np.array(
+            [np.asarray(d.tri_verts)[1] if d.tri_verts is not None
+             else (0.0, 0.0, 0.0) for d in descs], np.float32,
+        ),
+        "tp2": np.array(
+            [np.asarray(d.tri_verts)[2] if d.tri_verts is not None
+             else (0.0, 0.0, 0.0) for d in descs], np.float32,
+        ),
         "doublesided": np.array([d.doublesided for d in descs], np.bool_),
         "cast_shadow": np.array([d.cast_shadow for d in descs], np.bool_),
         "visible": np.array([d.visible for d in descs], np.bool_),

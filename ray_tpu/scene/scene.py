@@ -92,6 +92,20 @@ class SceneFlat:
     light_tree_depth: int = dataclasses.field(
         default=0, metadata=dict(static=True)
     )
+    # --- instancing (SURVEY §2.2 two-level TLAS/BLAS, SceneCPU.cpp:928) ---
+    # 'flatten': world-space triangles, single BVH (fast path; Pallas-eligible)
+    # 'tlas': shared object-space BLAS per mesh + TLAS over instances; the
+    # node columns in bvh_soa hold TLAS then all BLAS in one code space.
+    mode: str = dataclasses.field(
+        default="flatten", metadata=dict(static=True)
+    )
+    # any instance with a non-default per-ray-type visibility mask?
+    has_visibility: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
+    tri_vis: Any = None          # flatten: (T,) i32 visibility per leaf tri
+    inst: Any = None             # tlas: dict of per-instance columns
+    tri_light_local: Any = None  # tlas: (T,) i32 per-mesh emissive ordinal
 
     @property
     def num_tris(self) -> int:
@@ -164,9 +178,18 @@ class Scene:
         self._meshes.append(_Mesh(v, n, uv, idx, tm))
         return len(self._meshes) - 1
 
-    def add_instance(self, mesh: int, xform=None) -> int:
+    def add_instance(self, mesh: int, xform=None, visibility: int = None) -> int:
+        """Add a mesh instance (reference ``mesh_instance_desc_t``,
+        SceneBase.h:135: transform + per-ray-type visibility bools).
+
+        ``visibility``: bitmask from scene.visibility (RAY_CAMERA | ... );
+        default = visible to every ray type.
+        """
+        from ray_tpu.scene.visibility import RAY_ALL
+
         xf = None if xform is None else np.asarray(xform, np.float32).reshape(4, 4)
-        self._instances.append((mesh, xf))
+        vis = RAY_ALL if visibility is None else int(visibility)
+        self._instances.append((mesh, xf, vis))
         return len(self._instances) - 1
 
     def add_light(self, desc: LightDesc) -> int:
@@ -243,17 +266,59 @@ class Scene:
         return params
 
     # -- finalize ----------------------------------------------------------
-    def finalize(self, max_leaf: int = 4,
-                 light_tree_min_lights: int = 5) -> SceneFlat:
+    def finalize(self, max_leaf: int = 4, light_tree_min_lights: int = 5,
+                 instancing: str = "auto") -> SceneFlat:
         """Compile to a SceneFlat (the analogue of Scene::Finalize,
-        SceneCPU.cpp:882: env light registration + BVH + light table)."""
+        SceneCPU.cpp:882: env light registration + BVH + light table).
+
+        ``instancing``: 'flatten' pre-transforms every instance to world
+        space and builds one BVH (best traversal perf, Pallas-eligible —
+        the right call for single-use meshes); 'tlas' builds the
+        reference-style two-level structure (SceneCPU.cpp:928
+        RebuildTLAS_nolock): one shared object-space BLAS per mesh + a TLAS
+        over instance AABBs — the memory-scaling choice for heavy
+        instancing.  'auto' picks 'tlas' iff some mesh is instanced more
+        than once.
+        """
+        from ray_tpu.scene.visibility import RAY_ALL
+
         if not self._instances:
             for m in range(len(self._meshes)):
-                self._instances.append((m, None))
+                self._instances.append((m, None, RAY_ALL))
+        has_vis = any(v != RAY_ALL for _, _, v in self._instances)
 
-        verts, norms, uvs, tris, tri_mat = [], [], [], [], []
+        if instancing == "auto":
+            ids = [i[0] for i in self._instances]
+            instancing = "tlas" if len(ids) != len(set(ids)) else "flatten"
+        assert instancing in ("flatten", "tlas"), instancing
+        if instancing == "tlas":
+            return self._finalize_tlas(max_leaf, light_tree_min_lights, has_vis)
+        return self._finalize_flatten(max_leaf, light_tree_min_lights, has_vis)
+
+    def _emissive_light_of(self, mat_id: int):
+        """TRI-light registration rule (SceneCPU.cpp:1214): returns
+        (radiance color, two_sided) for emissive importance-sampled
+        materials, else None."""
+        mats = self._materials if self._materials else [MaterialDesc()]
+        if mat_id < 0 or mat_id >= len(mats):
+            return None
+        d = mats[mat_id]
+        emissive = d.type == ShadingNode.EMISSIVE or (
+            d.type == ShadingNode.PRINCIPLED
+            and max(d.emission_color) * d.emission_strength > 0.0
+        )
+        if not (emissive and d.importance_sample):
+            return None
+        if d.type == ShadingNode.EMISSIVE:
+            col = np.asarray(d.base_color) * d.strength
+        else:
+            col = np.asarray(d.emission_color) * d.emission_strength
+        return col, d.two_sided
+
+    def _finalize_flatten(self, max_leaf, light_tree_min_lights, has_vis):
+        verts, norms, uvs, tris, tri_mat, tri_vis = [], [], [], [], [], []
         voffset = 0
-        for mesh_id, xf in self._instances:
+        for mesh_id, xf, vis in self._instances:
             m = self._meshes[mesh_id]
             v, n = m.vertices, m.normals
             if xf is not None:
@@ -268,6 +333,7 @@ class Scene:
             uvs.append(m.uvs)
             tris.append(m.indices + voffset)
             tri_mat.append(m.tri_mat)
+            tri_vis.append(np.full(m.indices.shape[0], vis, np.int32))
             voffset += v.shape[0]
 
         vertices = np.concatenate(verts) if verts else np.zeros((3, 3), np.float32)
@@ -279,6 +345,10 @@ class Scene:
         tri_mats = (
             np.concatenate(tri_mat) if tri_mat else np.full((1, 2), -1, np.int32)
         )
+        tri_viss = (
+            np.concatenate(tri_vis) if tri_vis
+            else np.full(1, 0x7fffffff, np.int32)
+        )
 
         # BVH over world-space triangles; permute tri arrays to leaf order so
         # the traversal kernel indexes them directly (no extra indirection).
@@ -287,44 +357,259 @@ class Scene:
         perm = bvh.prim_indices
         tri_vidx = tri_vidx[perm]
         tri_mats = tri_mats[perm]
+        tri_viss = tri_viss[perm]
 
         # emissive triangles with importance_sample → TRI lights
         # (the reference registers these during Finalize; SceneCPU.cpp:1214)
         light_descs = list(self._lights)
         tri_areas = {}
         tri_light = np.full(tri_vidx.shape[0], -1, np.int32)
-        mats = self._materials if self._materials else [MaterialDesc()]
         for t in range(tri_vidx.shape[0]):
-            mat_id = tri_mats[t, 0]
-            if mat_id < 0 or mat_id >= len(mats):
+            em = self._emissive_light_of(int(tri_mats[t, 0]))
+            if em is None:
                 continue
-            d = mats[mat_id]
-            emissive = d.type == ShadingNode.EMISSIVE or (
-                d.type == ShadingNode.PRINCIPLED
-                and max(d.emission_color) * d.emission_strength > 0.0
-            )
-            if not (emissive and d.importance_sample):
-                continue
+            col, two_sided = em
             p = vertices[tri_vidx[t]]
-            area = 0.5 * np.linalg.norm(
-                np.cross(p[1] - p[0], p[2] - p[0])
-            )
-            if d.type == ShadingNode.EMISSIVE:
-                col = np.asarray(d.base_color) * d.strength
-            else:
-                col = np.asarray(d.emission_color) * d.emission_strength
+            area = 0.5 * np.linalg.norm(np.cross(p[1] - p[0], p[2] - p[0]))
             li = len(light_descs)
             light_descs.append(
                 LightDesc(
                     type=LightType.TRI,
                     color=tuple(col),
                     tri_index=int(t),
-                    doublesided=d.two_sided,
+                    doublesided=two_sided,
+                    tri_verts=np.asarray(p, np.float32),
                 )
             )
             tri_areas[li] = float(area)
             tri_light[t] = li
 
+        common = self._pack_common(
+            light_descs, tri_areas, vertices, tri_vidx, light_tree_min_lights
+        )
+        dev = jax.tree_util.tree_map(jnp.asarray, {
+            "vertices": vertices,
+            "normals": normals,
+            "uvs": uv,
+            "tri_vidx": tri_vidx,
+            "tri_mat": tri_mats,
+            "tri_light": tri_light,
+            "tri_vis": tri_viss,
+            "bvh_soa": pack_bvh_soa(bvh),
+            "tri_soa": pack_tri_soa(vertices, tri_vidx),
+            "root_lo": bvh.root_lo,
+            "root_hi": bvh.root_hi,
+            **common["dev"],
+        })
+        return SceneFlat(
+            **dev,
+            max_leaf=max_leaf,
+            stack_size=bvh_depth(bvh) + 4,
+            mode="flatten",
+            has_visibility=has_vis,
+            inst=None,
+            tri_light_local=None,
+            **common["static"],
+        )
+
+    def _finalize_tlas(self, max_leaf, light_tree_min_lights, has_vis):
+        """Two-level compile: per-mesh object-space BLAS + TLAS over
+        instances, all nodes merged into one code space (TLAS rows first;
+        see ops/traverse.py _traverse_tlas)."""
+        from ray_tpu.scene.bvh import (
+            LEAF_COUNT_BITS, LEAF_COUNT_MASK, pack_node_columns,
+        )
+        from ray_tpu.ops.traverse import INST_LEAF_FLAG
+
+        meshes = self._meshes
+        assert meshes, "tlas mode needs at least one mesh"
+
+        # --- per-mesh BLAS (shared by all instances of the mesh) ---
+        blas = [None] * len(meshes)
+        mesh_used = sorted({m for m, _, _ in self._instances})
+        for mi in mesh_used:
+            m = meshes[mi]
+            lo, hi = tri_bounds(m.vertices, m.indices)
+            blas[mi] = build_bvh2(lo, hi, max_leaf=max_leaf)
+
+        # --- concatenated object-space geometry in BLAS leaf order ---
+        verts, norms, uvs, tris, tri_mat = [], [], [], [], []
+        v_off, t_off = 0, 0
+        tri_base = {}
+        mesh_emissive = {}  # mesh -> [(leaf_local_tri, col, two_sided)]
+        tri_light_local_parts = []
+        for mi in mesh_used:
+            m = meshes[mi]
+            b = blas[mi]
+            perm = b.prim_indices
+            verts.append(m.vertices)
+            norms.append(m.normals)
+            uvs.append(m.uvs)
+            tris.append(m.indices[perm] + v_off)
+            tri_mat.append(m.tri_mat[perm])
+            tri_base[mi] = t_off
+            # per-mesh emissive ordinals (light id = inst light_base + ordinal)
+            local = np.full(perm.shape[0], -1, np.int32)
+            em_list = []
+            for t in range(perm.shape[0]):
+                em = self._emissive_light_of(int(m.tri_mat[perm[t], 0]))
+                if em is None:
+                    continue
+                local[t] = len(em_list)
+                em_list.append((t, em[0], em[1]))
+            mesh_emissive[mi] = em_list
+            tri_light_local_parts.append(local)
+            v_off += m.vertices.shape[0]
+            t_off += perm.shape[0]
+
+        vertices = np.concatenate(verts)
+        normals = np.concatenate(norms)
+        uv = np.concatenate(uvs)
+        tri_vidx = np.concatenate(tris)
+        tri_mats = np.concatenate(tri_mat)
+        tri_light_local = np.concatenate(tri_light_local_parts)
+        assert tri_vidx.shape[0] < (1 << 24), "tlas mode caps at 16M tris"
+
+        # --- instance transforms + world AABBs ---
+        n_inst = len(self._instances)
+        fwd = np.zeros((n_inst, 3, 4), np.float64)   # world-from-object
+        inv = np.zeros((n_inst, 3, 4), np.float64)   # object-from-world
+        inst_lo = np.zeros((n_inst, 3), np.float32)
+        inst_hi = np.zeros((n_inst, 3), np.float32)
+        inst_vis = np.zeros(n_inst, np.int32)
+        for i, (mi, xf, vis) in enumerate(self._instances):
+            A = np.eye(3) if xf is None else np.asarray(xf, np.float64)[:3, :3]
+            b = np.zeros(3) if xf is None else np.asarray(xf, np.float64)[:3, 3]
+            Ainv = np.linalg.inv(A)
+            fwd[i, :, :3], fwd[i, :, 3] = A, b
+            inv[i, :, :3], inv[i, :, 3] = Ainv, -Ainv @ b
+            rl, rh = blas[mi].root_lo, blas[mi].root_hi
+            corners = np.array(
+                [[rl[0] if c & 1 else rh[0],
+                  rl[1] if c & 2 else rh[1],
+                  rl[2] if c & 4 else rh[2]] for c in range(8)]
+            )
+            wc = corners @ A.T + b
+            inst_lo[i] = wc.min(0).astype(np.float32)
+            inst_hi[i] = wc.max(0).astype(np.float32)
+            inst_vis[i] = vis
+
+        # --- TLAS over instance AABBs (one instance per leaf) ---
+        tlas = build_bvh2(inst_lo, inst_hi, max_leaf=1, use_native="never")
+        n_tlas = tlas.num_nodes
+
+        def retag_tlas(code):
+            if code >= 0:
+                return code  # TLAS-internal: stays a low index
+            v = -code - 1
+            first, count = v >> LEAF_COUNT_BITS, v & LEAF_COUNT_MASK
+            if count == 0:
+                return -1  # empty leaf: decodes as 0-count tri leaf (no-op)
+            assert count == 1
+            return -((INST_LEAF_FLAG | int(tlas.prim_indices[first])) + 1)
+
+        tlas_child = np.vectorize(retag_tlas)(tlas.child).astype(np.int32)
+
+        # --- merge node arrays: TLAS rows, then each BLAS with offsets ---
+        node_base = {}
+        all_lo = [tlas.child_lo]
+        all_hi = [tlas.child_hi]
+        all_child = [tlas_child]
+        base = n_tlas
+        for mi in mesh_used:
+            b = blas[mi]
+            node_base[mi] = base
+            c = b.child
+            internal = c >= 0
+            v = -c - 1
+            first = (v >> LEAF_COUNT_BITS) + tri_base[mi]
+            count = v & LEAF_COUNT_MASK
+            leaf_new = -(((first << LEAF_COUNT_BITS) | count) + 1)
+            all_child.append(
+                np.where(internal, c + base,
+                         np.where(count > 0, leaf_new, -1)).astype(np.int32)
+            )
+            all_lo.append(b.child_lo)
+            all_hi.append(b.child_hi)
+            base += b.num_nodes
+        nodes_soa = pack_node_columns(
+            np.concatenate(all_lo), np.concatenate(all_hi),
+            np.concatenate(all_child),
+        )
+
+        # --- per-instance columns for the traversal + shading transforms ---
+        inst_cols = {"vis": inst_vis}
+        inst_cols["blas_root"] = np.array(
+            [node_base[mi] for mi, _, _ in self._instances], np.int32
+        )
+        for r in range(3):
+            for c in range(3):
+                inst_cols[f"inv{r}{c}"] = inv[:, r, c].astype(np.float32)
+                inst_cols[f"m{r}{c}"] = fwd[:, r, c].astype(np.float32)
+        for ax, name in enumerate("xyz"):
+            inst_cols[f"invt{name}"] = inv[:, ax, 3].astype(np.float32)
+            inst_cols[f"mt{name}"] = fwd[:, ax, 3].astype(np.float32)
+
+        # --- per-instance TRI lights from emissive mesh triangles ---
+        light_descs = list(self._lights)
+        tri_areas = {}
+        light_base = np.zeros(n_inst, np.int32)
+        for i, (mi, xf, vis) in enumerate(self._instances):
+            light_base[i] = len(light_descs)
+            A, b = fwd[i, :, :3], fwd[i, :, 3]
+            for t_local, col, two_sided in mesh_emissive[mi]:
+                perm = blas[mi].prim_indices
+                p_obj = meshes[mi].vertices[meshes[mi].indices[perm[t_local]]]
+                p = (p_obj @ A.T + b).astype(np.float32)
+                area = 0.5 * np.linalg.norm(
+                    np.cross(p[1] - p[0], p[2] - p[0])
+                )
+                li = len(light_descs)
+                light_descs.append(
+                    LightDesc(
+                        type=LightType.TRI,
+                        color=tuple(np.asarray(col, np.float64)),
+                        tri_index=int(tri_base[mi] + t_local),
+                        doublesided=two_sided,
+                        tri_verts=p,
+                    )
+                )
+                tri_areas[li] = float(area)
+        inst_cols["light_base"] = light_base
+
+        common = self._pack_common(
+            light_descs, tri_areas, vertices, tri_vidx, light_tree_min_lights
+        )
+        max_blas_depth = max(bvh_depth(blas[mi]) for mi in mesh_used)
+        dev = jax.tree_util.tree_map(jnp.asarray, {
+            "vertices": vertices,
+            "normals": normals,
+            "uvs": uv,
+            "tri_vidx": tri_vidx,
+            "tri_mat": tri_mats,
+            "tri_light": np.full(tri_vidx.shape[0], -1, np.int32),
+            "tri_light_local": tri_light_local,
+            "bvh_soa": nodes_soa,
+            "tri_soa": pack_tri_soa(vertices, tri_vidx),
+            "root_lo": tlas.root_lo,
+            "root_hi": tlas.root_hi,
+            "inst": inst_cols,
+            **common["dev"],
+        })
+        return SceneFlat(
+            **dev,
+            max_leaf=max_leaf,
+            stack_size=bvh_depth(tlas) + max_blas_depth + 6,
+            mode="tlas",
+            has_visibility=has_vis,
+            tri_vis=None,
+            **common["static"],
+        )
+
+    def _pack_common(self, light_descs, tri_areas, vertices, tri_vidx,
+                     light_tree_min_lights):
+        """Mode-independent tail of Finalize: env light + material/light/
+        texture tables + light tree + env importance tables."""
         # implicit environment light when the env contributes
         # (reference SceneCPU.cpp:908-921)
         env_light_index = -1
@@ -397,43 +682,32 @@ class Scene:
             env_pdf = np.full(1, 0.25 / np.pi, np.float32)
             env_tab_h = env_tab_w = 0
 
-        dev = jax.tree_util.tree_map(jnp.asarray, {
-            "vertices": vertices,
-            "normals": normals,
-            "uvs": uv,
-            "tri_vidx": tri_vidx,
-            "tri_mat": tri_mats,
-            "tri_light": tri_light,
-            "bvh_soa": pack_bvh_soa(bvh),
-            "tri_soa": pack_tri_soa(vertices, tri_vidx),
-            "root_lo": bvh.root_lo,
-            "root_hi": bvh.root_hi,
-            "materials": materials,
-            "lights": lights,
-            "textures": textures,
-            "env_col": self.env_col,
-            "env_map": np.int32(self.env_map),
-            "env_rotation": np.float32(self.env_rotation),
-            "env_marginal_cdf": env_marginal,
-            "env_cond_cdf": env_cond,
-            "env_pdf": env_pdf,
-            "light_tree": light_tree,
-        })
-        return SceneFlat(
-            **dev,
-            max_leaf=max_leaf,
-            num_lights=len(light_descs),
-            env_light_index=env_light_index,
-            stack_size=bvh_depth(bvh) + 4,
-            light_kinds=tuple(
-                (int(d.type), bool(d.visible), bool(d.doublesided),
-                 bool(d.sky_portal))
-                for d in light_descs
-            ),
-            env_tab_w=env_tab_w,
-            env_tab_h=env_tab_h,
-            light_tree_depth=light_tree_depth,
-        )
+        return {
+            "dev": {
+                "materials": materials,
+                "lights": lights,
+                "textures": textures,
+                "env_col": self.env_col,
+                "env_map": np.int32(self.env_map),
+                "env_rotation": np.float32(self.env_rotation),
+                "env_marginal_cdf": env_marginal,
+                "env_cond_cdf": env_cond,
+                "env_pdf": env_pdf,
+                "light_tree": light_tree,
+            },
+            "static": {
+                "num_lights": len(light_descs),
+                "env_light_index": env_light_index,
+                "light_kinds": tuple(
+                    (int(d.type), bool(d.visible), bool(d.doublesided),
+                     bool(d.sky_portal))
+                    for d in light_descs
+                ),
+                "env_tab_w": env_tab_w,
+                "env_tab_h": env_tab_h,
+                "light_tree_depth": light_tree_depth,
+            },
+        }
 
 
 def compute_vertex_normals(vertices: np.ndarray, indices: np.ndarray) -> np.ndarray:
