@@ -192,7 +192,7 @@ def render_tile(
 
     def bounce_step(state, bounce):
         (ro, rd, t_max, throughput, bsdf_pdf, active, depth, ior_stack,
-         accum, aux_base, aux_dn, ray_mask) = state
+         accum, aux_base, aux_dn, ray_mask, cone_width, cone_spread) = state
         is_first = bounce == 0
         limit0 = jnp.where(
             is_first, settings.clamp_direct, settings.clamp_indirect
@@ -266,6 +266,10 @@ def render_tile(
         mat_id = surface_mod.pick_hit_material(scene, hit.prim, hit.backface)
         alive = alive & (mat_id >= 0)
 
+        # ray-cone texture LOD λ (ShadeRef.cpp:1279-1283)
+        cw_at_hit = cone_width + cone_spread * jax.lax.stop_gradient(hit.t)
+        lam = surf.lod_base + jnp.log2(jnp.maximum(cw_at_hit, 1e-30))
+
         tex_rx, tex_ry = rng.scrambled_2d_rand(
             rand_dim + jnp.uint32(rng.RAND_DIM_TEX), seed, sample_i
         )
@@ -277,16 +281,18 @@ def render_tile(
         ext_ior = _peek_ior(ior_stack, hit.backface)
         mat_id, mix_rand, mix_weight = surface_mod.resolve_mix(
             scene, mat_id, surf.uv, mix_rx, rd, surf.N, ext_ior, hit.backface,
-            tex_rand,
+            tex_rand, lam=lam,
         )
-        surf = surface_mod.apply_normal_map(scene, mat_id, surf, rd, tex_rand)
+        surf = surface_mod.apply_normal_map(
+            scene, mat_id, surf, rd, tex_rand, lam=lam
+        )
 
         reg_alpha = jnp.where(
             is_first, 0.0, jnp.float32(settings.regularize_alpha)
         )
         params = uber.gather_uber_params(
             scene, mat_id, surf.uv, rd, surf.N, hit.backface, ext_ior,
-            tex_rand, regularize_alpha=reg_alpha,
+            tex_rand, regularize_alpha=reg_alpha, lam=lam,
         )
 
         # ---------- emissive hit (ShadeRef.cpp:1502-1539) ----------
@@ -435,8 +441,16 @@ def render_tile(
         ).astype(jnp.int32)
         ray_mask = jnp.where(next_active, new_mask, ray_mask)
 
+        # cone advances to the hit and spreads by the sampled lobe's alpha
+        # (ShadeRef.cpp:1458-1459 + per-lobe increments)
+        cone_width = jnp.where(next_active, cw_at_hit, cone_width)
+        cone_spread = jnp.where(
+            next_active, cone_spread + bs.cone_spread_inc, cone_spread
+        )
+
         new_state = (ro, rd, t_max, throughput, bsdf_pdf, next_active, depth,
-                     ior_stack, accum, aux_base, aux_dn, ray_mask)
+                     ior_stack, accum, aux_base, aux_dn, ray_mask,
+                     cone_width, cone_spread)
         # per-bounce ray counts for the Mrays/s stat (closest + shadow)
         n_traced = jnp.sum(active.astype(jnp.int32))
         if settings.use_nee and have_lights:
@@ -459,6 +473,8 @@ def render_tile(
         jnp.zeros((R, 3), jnp.float32),             # aux base color
         jnp.zeros((R, 4), jnp.float32),             # aux depth-normal
         jnp.full((R,), RAY_CAMERA, jnp.int32),      # ray-type visibility mask
+        jnp.zeros((R,), jnp.float32),               # cone width (CoreRef.cpp:1538)
+        jnp.broadcast_to(rays.cone_spread, (R,)).astype(jnp.float32),
     )
     n_iters = settings.max_total_depth + 1
     body = jax.checkpoint(bounce_step) if settings.remat else bounce_step

@@ -23,7 +23,7 @@ from ray_tpu.ops.linalg import (
 )
 from ray_tpu.render.bsdf.microfacet import fresnel_dielectric_cos
 from ray_tpu.scene.materials import MAT_FLAG_MIX_ADD, ShadingNode
-from ray_tpu.scene.textures import sample_bilinear
+from ray_tpu.scene.textures import sample_bilinear, texture_lod
 
 MAX_MIX_DEPTH = 4  # Mix nodes may nest; resolution loop is unrolled this deep
 
@@ -39,6 +39,7 @@ class Surface(NamedTuple):
     uv: jnp.ndarray       # (R, 2)
     backfacing: jnp.ndarray  # (R,) bool
     tri_area: jnp.ndarray    # (R,) world-space triangle area
+    lod_base: jnp.ndarray    # (R,) 0.5·log2(ta/pa) cone-LOD term (ShadeRef.cpp:1282)
 
 
 def _inst_xform_point(inst, ii, p):
@@ -118,6 +119,14 @@ def compute_surface(scene, prim, u, v, backface, ro, rd, t, inst=None):
     plane_N = fwd / fwd_len[:, None]
     tri_area = 0.5 * fwd_len
 
+    # texture-space parallelogram area over world parallelogram area: the
+    # geometry half of the ray-cone LOD λ (reference ShadeRef.cpp:1279-1283)
+    e1, e2 = uv1 - uv0, uv2 - uv0
+    ta = jnp.abs(e1[:, 0] * e2[:, 1] - e2[:, 0] * e1[:, 1])
+    lod_base = 0.5 * jnp.log2(
+        jnp.maximum(ta, 1e-30) / jnp.maximum(fwd_len, 1e-30)
+    )
+
     flip = backface[:, None]
     N = jnp.where(flip, -N, N)
     plane_N = jnp.where(flip, -plane_N, plane_N)
@@ -131,7 +140,7 @@ def compute_surface(scene, prim, u, v, backface, ro, rd, t, inst=None):
     T = cross(N, B)
 
     return Surface(P=P, N=N, plane_N=plane_N, T=T, B=B, uv=uv,
-                   backfacing=backface, tri_area=tri_area)
+                   backfacing=backface, tri_area=tri_area, lod_base=lod_base)
 
 
 def pick_hit_material(scene, prim, backface):
@@ -143,7 +152,8 @@ def pick_hit_material(scene, prim, backface):
     return jnp.where(backface, back, front)
 
 
-def resolve_mix(scene, mat_id, uv, mix_rand, I, N, ext_ior, backfacing, tex_rand):
+def resolve_mix(scene, mat_id, uv, mix_rand, I, N, ext_ior, backfacing, tex_rand,
+                lam=None):
     """Stochastically resolve Mix-node chains (ShadeRef.cpp:1303-1335).
 
     Returns (leaf_mat_id, rescaled mix_rand, mix_weight).  Unrolled to
@@ -156,7 +166,8 @@ def resolve_mix(scene, mat_id, uv, mix_rand, I, N, ext_ior, backfacing, tex_rand
         is_mix = (mats["type"][safe_id] == ShadingNode.MIX) & (mat_id >= 0)
         mix_val = mats["strength"][safe_id]
         base_tex = mats["base_texture"][safe_id]
-        tex = sample_bilinear(scene.textures, base_tex, uv)
+        lod = None if lam is None else texture_lod(scene.textures, base_tex, lam)
+        tex = sample_bilinear(scene.textures, base_tex, uv, lod)
         mix_val = mix_val * jnp.where(base_tex >= 0, tex[:, 0], 1.0)
         ior = mats["ior"][safe_id]
         eta = jnp.where(
@@ -192,7 +203,7 @@ def resolve_mix(scene, mat_id, uv, mix_rand, I, N, ext_ior, backfacing, tex_rand
     return mat_id, mix_rand, mix_weight
 
 
-def apply_normal_map(scene, mat_id, surf: Surface, I, tex_rand):
+def apply_normal_map(scene, mat_id, surf: Surface, I, tex_rand, lam=None):
     """Tangent-space normal mapping + Cycles' ensure_valid_reflection-lite
     clamp (full iterative version: ShadeRef.cpp:252-352; we clamp the shading
     normal so the reflection of -I stays above the geometric horizon)."""
@@ -200,7 +211,8 @@ def apply_normal_map(scene, mat_id, surf: Surface, I, tex_rand):
     safe_id = jnp.maximum(mat_id, 0)
     nm = mats["normal_map"][safe_id]
     has = nm >= 0
-    tex = sample_bilinear(scene.textures, nm, surf.uv)
+    lod = None if lam is None else texture_lod(scene.textures, nm, lam)
+    tex = sample_bilinear(scene.textures, nm, surf.uv, lod)
     n_ts = tex[:, :3] * 2.0 - 1.0
     n_ts = n_ts.at[:, 2].set(
         jnp.sqrt(jnp.maximum(1.0 - n_ts[:, 0] ** 2 - n_ts[:, 1] ** 2, 0.0))

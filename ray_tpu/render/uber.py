@@ -25,7 +25,7 @@ from ray_tpu.render.bsdf.microfacet import (
 )
 from ray_tpu.render.bsdf import lobes
 from ray_tpu.scene.materials import ShadingNode
-from ray_tpu.scene.textures import sample_bilinear
+from ray_tpu.scene.textures import sample_bilinear, texture_lod
 
 # ray types (reference internal/Constants.inl:58-63)
 RAY_TYPE_CAMERA = 0
@@ -79,31 +79,38 @@ def _spec_ior_from_specular(specular):
 
 
 def gather_uber_params(scene, mat_id, uv, I, N, backfacing, ext_ior, tex_rand,
-                       regularize_alpha=0.0):
+                       regularize_alpha=0.0, lam=None):
     """Gather material columns for each hit and resolve node-type semantics
-    into the uber parameter block (reference ShadeRef.cpp:1419-1649)."""
+    into the uber parameter block (reference ShadeRef.cpp:1419-1649).
+
+    ``lam``: optional (R,) ray-cone LOD λ; each texture fetch derives its
+    own mip level from it (reference get_texture_lod per fetch)."""
     m = scene.materials
     i = jnp.maximum(mat_id, 0)
     mtype = m["type"][i]
 
+    def _fetch(tex_id):
+        lod = None if lam is None else texture_lod(scene.textures, tex_id, lam)
+        return sample_bilinear(scene.textures, tex_id, uv, lod)
+
     base_color = m["base_color"][i]
     base_tex = m["base_texture"][i]
-    tex = sample_bilinear(scene.textures, base_tex, uv)
+    tex = _fetch(base_tex)
     base_color = base_color * jnp.where((base_tex >= 0)[:, None], tex[:, :3], 1.0)
 
     roughness = m["roughness"][i]
     rough_tex = m["roughness_texture"][i]
-    rtex = sample_bilinear(scene.textures, rough_tex, uv)
+    rtex = _fetch(rough_tex)
     roughness = roughness * jnp.where(rough_tex >= 0, rtex[:, 0], 1.0)
 
     metallic = m["metallic"][i]
     met_tex = m["metallic_texture"][i]
-    mtex = sample_bilinear(scene.textures, met_tex, uv)
+    mtex = _fetch(met_tex)
     metallic = metallic * jnp.where(met_tex >= 0, mtex[:, 0], 1.0)
 
     specular = m["specular"][i]
     spec_tex = m["specular_texture"][i]
-    stex = sample_bilinear(scene.textures, spec_tex, uv)
+    stex = _fetch(spec_tex)
     specular = specular * jnp.where(spec_tex >= 0, stex[:, 0], 1.0)
 
     anisotropic = m["anisotropic"][i]
@@ -308,6 +315,7 @@ class BsdfSample(NamedTuple):
     pdf: jnp.ndarray          # (R,) pdf for next-hit MIS
     ray_type: jnp.ndarray     # (R,) i32
     flip_origin: jnp.ndarray  # (R,) bool — offset origin along -plane_N
+    cone_spread_inc: jnp.ndarray  # (R,) ray-cone spread growth (Constants.inl:108)
 
 
 def sample_uber(p: UberParams, T, B, N, I, rand2, mix_rand):
@@ -386,6 +394,22 @@ def sample_uber(p: UberParams, T, B, N, I, rand2, mix_rand):
     out_dir = sel(dir_dif, dir_sp, dir_cc, dir_refr)
     out_w = sel(w_dif, w_sp, w_cc, w_refr)
     out_pdf = sel(pdf_dif_out, pdf_sp_out, pdf_cc_out, pdf_refr_out)
+
+    # ray-cone spread growth per lobe: full increment for diffuse, scaled
+    # by the lobe's min GGX alpha for glossy lobes (ShadeRef.cpp:686-1009,
+    # MAX_CONE_SPREAD_INCREMENT = 0.05, Constants.inl:108)
+    MAX_CONE_SPREAD_INCREMENT = 0.05
+    inc_refr = jnp.where(
+        pick_rr,
+        jnp.min(p.refr_spec_alpha, axis=-1),
+        jnp.min(p.trans_alpha, axis=-1),
+    )
+    cone_inc = MAX_CONE_SPREAD_INCREMENT * sel(
+        jnp.ones_like(out_pdf),
+        jnp.min(p.spec_alpha, axis=-1),
+        p.coat_roughness2,
+        inc_refr,
+    )
     ray_type = jnp.where(
         pick_d, RAY_TYPE_DIFFUSE,
         jnp.where(
@@ -401,6 +425,7 @@ def sample_uber(p: UberParams, T, B, N, I, rand2, mix_rand):
     out_pdf = jnp.where(p.is_transparent, lobes.DELTA_PDF, out_pdf)
     ray_type = jnp.where(p.is_transparent, 5, ray_type)  # 5 = transparency
     flip_origin = flip_origin | p.is_transparent
+    cone_inc = jnp.where(p.is_transparent, 0.0, cone_inc)
 
     # emissive / no-lobe: dead sample
     dead = p.is_emissive | (
@@ -411,5 +436,5 @@ def sample_uber(p: UberParams, T, B, N, I, rand2, mix_rand):
 
     return BsdfSample(
         dir=out_dir, weight=out_w, pdf=out_pdf, ray_type=ray_type,
-        flip_origin=flip_origin,
+        flip_origin=flip_origin, cone_spread_inc=cone_inc,
     )

@@ -113,6 +113,22 @@ class TexturePacker:
         }
 
 
+def texture_lod(tex, tex_id, lam):
+    """Per-texture mip level from the ray-cone LOD λ (reference
+    get_texture_lod, internal/CoreRef.cpp:2838): the cone footprint term λ
+    plus 0.5·log2(w·h) for this texture's resolution, minus 1 so bilinear
+    interpolation always has 4 texels."""
+    import jax
+
+    safe_id = jnp.maximum(tex_id, 0)
+    mip0 = tex["tex_mip0"][safe_id]
+    w = tex["tex_w"][mip0].astype(jnp.float32)
+    h = tex["tex_h"][mip0].astype(jnp.float32)
+    lod = lam + 0.5 * jnp.log2(jnp.maximum(w * h, 1.0)) - 1.0
+    lod = jnp.clip(lod, 0.0, (tex["tex_mips"][safe_id] - 1).astype(jnp.float32))
+    return jax.lax.stop_gradient(lod)
+
+
 def sample_bilinear(tex, tex_id, uv, lod=None):
     """Bilinear texture fetch, vectorized over rays.
 

@@ -143,3 +143,36 @@ def test_texture_gradient_vs_fd():
     f_m = loss(t0.at[i, c].add(-eps))
     fd = (float(f_p) - float(f_m)) / (2 * eps)
     np.testing.assert_allclose(float(gn[i, c]), fd, rtol=0.05, atol=1e-5)
+
+
+def test_ray_cone_mip_selection():
+    """Ray-cone texture LOD (reference ShadeRef.cpp:1279-1283 +
+    get_texture_lod): a far-away high-frequency checker must be fetched
+    from a coarse mip (≈0.5 uniform gray), not from mip 0 (noisy 0/1).
+    Without LOD the per-pixel values are bimodal; with it they concentrate
+    at the checker mean."""
+    checker = np.indices((256, 256)).sum(0) % 2
+    img = np.repeat(checker[..., None], 3, axis=-1).astype(np.float32)
+
+    sc = Scene()
+    tex = sc.add_texture(img)
+    mat = sc.add_material(
+        MaterialDesc(type=ShadingNode.DIFFUSE, base_color=(1, 1, 1),
+                     base_texture=tex)
+    )
+    # quad very far away: each pixel footprint covers many texels
+    v, idx, uvq = make_quad((0, 0, 200), (40, 0, 0), (0, -40, 0))
+    sc.add_mesh(v, idx, uvs=uvq, material=mat)
+    sc.set_environment((1.0, 1.0, 1.0))
+    flat = sc.finalize()
+    cam = make_camera(origin=(0, 0, 0), look_at=(0, 0, 1), fov=30.0)
+
+    r = Renderer(
+        RenderSettings(32, 32),
+        PassSettings(max_total_depth=2, min_total_depth=2),
+    )
+    out = np.asarray(r.render(flat, cam, 4))
+    center = out[8:24, 8:24, 0]
+    # furnace: L = albedo(=checker mip) × env(=1); coarse mip ⇒ ≈0.5
+    assert abs(center.mean() - 0.5) < 0.08, center.mean()
+    assert center.std() < 0.1, center.std()
