@@ -38,7 +38,7 @@ from ray_tpu.ops.traverse import (
     trace_occlusion_soa,
     trace_occlusion_tlas,
 )
-from ray_tpu.render import light_sampling, surface as surface_mod, uber
+from ray_tpu.render import light_sampling, radcache, surface as surface_mod, uber
 from ray_tpu.render.bsdf.microfacet import PI
 from ray_tpu.render.raygen import generate_primary_rays
 from ray_tpu.scene.visibility import (
@@ -135,6 +135,8 @@ def render_tile(
     settings: PassSettings,
     use_filter_table: bool,
     pixel_mask=None,
+    cache=None,
+    cache_mode: str = "off",
 ):
     """Render one sample of a (tile_h, tile_w) tile.
 
@@ -142,6 +144,13 @@ def render_tile(
     adaptive-sampling analogue of the reference's ``required_samples`` skip,
     CoreRef.cpp:1472).  Returns dict with 'color' (R,3) radiance,
     'base_color' (R,3), 'depth_normal' (R,4) — the AUX set of Types.h:49.
+
+    ``cache``/``cache_mode``: spatial radiance cache plumbing (the
+    reference's eSpatialCacheMode, internal/CoreRef.h).  'query' lets
+    shade early-exit paths whose cone footprint exceeds the cache voxel
+    (ShadeRef.cpp:1370-1392); 'update' records per-bounce contribution/
+    throughput/vertex columns and back-propagates them into the cache
+    after the scan (result key 'cache' holds the new state).
     """
     rays = generate_primary_rays(
         cam, filter_table, x0, y0, iteration, rand_seed,
@@ -192,7 +201,10 @@ def render_tile(
 
     def bounce_step(state, bounce):
         (ro, rd, t_max, throughput, bsdf_pdf, active, depth, ior_stack,
-         accum, aux_base, aux_dn, ray_mask, cone_width, cone_spread) = state
+         accum, aux_base, aux_dn, ray_mask, cone_width, cone_spread,
+         vertex_count) = state
+        accum_in = accum
+        throughput_in = throughput
         is_first = bounce == 0
         limit0 = jnp.where(
             is_first, settings.clamp_direct, settings.clamp_indirect
@@ -293,6 +305,12 @@ def render_tile(
         params = uber.gather_uber_params(
             scene, mat_id, surf.uv, rd, surf.N, hit.backface, ext_ior,
             tex_rand, regularize_alpha=reg_alpha, lam=lam,
+            # update pass caches diffuse-ish radiance only: view-dependent
+            # sharp lobes are roughened (ShadeRef.cpp:1450-1452)
+            min_roughness=(
+                radcache.RAD_CACHE_MIN_ROUGHNESS if cache_mode == "update"
+                else 0.0
+            ),
         )
 
         # ---------- emissive hit (ShadeRef.cpp:1502-1539) ----------
@@ -328,6 +346,28 @@ def render_tile(
         )
 
         can_shade = alive & (~params.is_emissive) & (~params.is_transparent)
+
+        # ---------- spatial cache query exit (ShadeRef.cpp:1370-1392) ----
+        if cache_mode == "query":
+            c_r1, c_r2 = rng.scrambled_2d_rand(
+                rand_dim + jnp.uint32(rng.RAND_DIM_CACHE), seed, sample_i
+            )
+            vs = radcache.voxel_size(
+                radcache.grid_level(surf.P, cache.cam_pos)
+            )
+            use_cache = (
+                can_shade
+                & (cw_at_hit > (1.0 + 0.5 * c_r1) * vs)
+                & (hit.t > (1.0 + c_r2) * vs)
+            )
+            c_rad, c_good = radcache.query(
+                cache, jax.lax.stop_gradient(surf.P),
+                jax.lax.stop_gradient(surf.plane_N), use_cache,
+            )
+            accum = accum + jnp.where(
+                c_good[:, None], throughput * c_rad, 0.0
+            )
+            can_shade = can_shade & (~c_good)
 
         # ---------- NEE (SampleLightSource + eval + shadow ray) ----------
         if settings.use_nee and have_lights:
@@ -448,14 +488,30 @@ def render_tile(
             next_active, cone_spread + bs.cone_spread_inc, cone_spread
         )
 
+        # cacheable path vertices: first PROPAGATION_DEPTH real hits
+        # (SpatialCacheUpdate path_len cap, RadCacheRef.cpp:201)
+        vtx_valid = alive & (
+            vertex_count < radcache.RAD_CACHE_PROPAGATION_DEPTH
+        )
+        vertex_count = vertex_count + vtx_valid.astype(jnp.int32)
+
         new_state = (ro, rd, t_max, throughput, bsdf_pdf, next_active, depth,
                      ior_stack, accum, aux_base, aux_dn, ray_mask,
-                     cone_width, cone_spread)
+                     cone_width, cone_spread, vertex_count)
         # per-bounce ray counts for the Mrays/s stat (closest + shadow)
         n_traced = jnp.sum(active.astype(jnp.int32))
         if settings.use_nee and have_lights:
             n_traced = n_traced + jnp.sum((nee_valid & ls.cast_shadow).astype(jnp.int32))
-        return new_state, n_traced
+        ys = {"n_traced": n_traced}
+        if cache_mode == "update":
+            ys.update(
+                delta=jax.lax.stop_gradient(accum - accum_in),
+                t_in=jax.lax.stop_gradient(throughput_in),
+                vtx_p=jax.lax.stop_gradient(surf.P),
+                vtx_n=jax.lax.stop_gradient(surf.plane_N),
+                vtx_valid=vtx_valid,
+            )
+        return new_state, ys
 
     active0 = (
         jnp.ones((R,), jnp.bool_) if pixel_mask is None else pixel_mask
@@ -475,16 +531,23 @@ def render_tile(
         jnp.full((R,), RAY_CAMERA, jnp.int32),      # ray-type visibility mask
         jnp.zeros((R,), jnp.float32),               # cone width (CoreRef.cpp:1538)
         jnp.broadcast_to(rays.cone_spread, (R,)).astype(jnp.float32),
+        jnp.zeros((R,), jnp.int32),                 # cache vertex count
     )
     n_iters = settings.max_total_depth + 1
     body = jax.checkpoint(bounce_step) if settings.remat else bounce_step
-    state, n_traced = jax.lax.scan(
+    state, ys = jax.lax.scan(
         body, state0, jnp.arange(n_iters, dtype=jnp.int32)
     )
     accum, aux_base, aux_dn = state[8], state[9], state[10]
-    return {
+    out = {
         "color": accum,
         "base_color": aux_base,
         "depth_normal": aux_dn,
-        "rays_traced": jnp.sum(n_traced),
+        "rays_traced": jnp.sum(ys["n_traced"]),
     }
+    if cache_mode == "update":
+        out["cache"] = radcache.propagate_and_accumulate(
+            cache, ys["delta"], ys["t_in"], ys["vtx_p"], ys["vtx_n"],
+            ys["vtx_valid"],
+        )
+    return out

@@ -34,6 +34,12 @@ class RenderSettings:
     height: int = 256
     min_samples: int = 16
     variance_threshold: float = 0.0   # 0 = adaptive sampling off
+    use_spatial_cache: bool = False   # settings_t.use_spatial_cache
+    cache_entries: int = 1 << 20
+    # update-pass resolution divisor (RAD_CACHE_DOWNSAMPLING_FACTOR = 4 in
+    # the reference; tunable here because the voxel-hit rate scales with
+    # resolution — tiny test renders need 1)
+    cache_downsample: int = 4
 
 
 @dataclasses.dataclass
@@ -47,17 +53,20 @@ class RegionContext:
     iteration: int = 0
 
 
-@partial(jax.jit, static_argnames=("width", "height", "settings", "use_filter_table"))
+@partial(jax.jit, static_argnames=(
+    "width", "height", "settings", "use_filter_table", "cache_mode"
+))
 def _render_sample_jit(
     scene, cam, filter_table, iteration, rand_seed, pixel_mask,
     *, width, height, settings, use_filter_table,
+    cache=None, cache_mode="off",
 ):
     out = render_tile(
         scene, cam, filter_table,
         jnp.int32(0), jnp.int32(0), iteration, rand_seed,
         width=width, height=height, tile_w=width, tile_h=height,
         settings=settings, use_filter_table=use_filter_table,
-        pixel_mask=pixel_mask,
+        pixel_mask=pixel_mask, cache=cache, cache_mode=cache_mode,
     )
     return out
 
@@ -107,6 +116,8 @@ class Renderer:
         self.sample_counts = jnp.zeros((h * w,), jnp.int32)
         self.active_px = jnp.ones((h * w,), jnp.bool_)
         self.stats = {"time_primary_trace_us": 0.0, "time_shade_us": 0.0}
+        self.cache = None            # spatial radiance cache state
+        self.cache_iteration = 0     # RegionContext.cache_iteration
 
     def clear(self):
         self.iteration = 0
@@ -114,6 +125,40 @@ class Renderer:
         self.half_buf = jnp.zeros_like(self.half_buf)
         self.sample_counts = jnp.zeros_like(self.sample_counts)
         self.active_px = jnp.ones_like(self.active_px)
+
+    def update_spatial_cache(self, scene, cam: Camera, rand_seed: int = 0):
+        """¼-resolution cache-feeding pass (RendererCPU.h:1010-1163
+        UpdateSpatialCache): Box filter, no DOF, cache_mode=Update."""
+        from ray_tpu.render import radcache
+
+        if self.cache is None:
+            self.cache = radcache.make_cache(
+                self.settings.cache_entries, np.asarray(cam.origin)
+            )
+        self.cache_iteration += 1
+        f = self.settings.cache_downsample
+        w4 = max(self.settings.width // f, 1)
+        h4 = max(self.settings.height // f, 1)
+        cam_u = dataclasses.replace(
+            cam, fstop=jnp.float32(0.0), filter=int(PixelFilter.BOX)
+        )
+        table = jnp.asarray(build_filter_table(cam_u.filter, cam_u.filter_width))
+        out = _render_sample_jit(
+            scene, cam_u, table,
+            jnp.uint32(self.cache_iteration), jnp.uint32(rand_seed),
+            jnp.ones((h4 * w4,), jnp.bool_),
+            width=w4, height=h4, settings=self.pass_settings,
+            use_filter_table=False, cache=self.cache, cache_mode="update",
+        )
+        self.cache = out["cache"]
+        return out
+
+    def resolve_spatial_cache(self):
+        """EMA-merge curr into prev + aging (RendererCPU.h:1165-1212)."""
+        from ray_tpu.render import radcache
+
+        assert self.cache is not None, "no cache to resolve"
+        self.cache = radcache.resolve(self.cache)
 
     def render_sample(self, scene, cam: Camera, rand_seed: int = 0):
         """Advance one progressive sample over the full frame."""
@@ -123,12 +168,15 @@ class Renderer:
         )
         adaptive = self.settings.variance_threshold > 0.0
         mask = self.active_px if adaptive else jnp.ones_like(self.active_px)
+        use_cache = self.settings.use_spatial_cache and self.cache is not None
         out = _render_sample_jit(
             scene, cam, table,
             jnp.uint32(self.iteration), jnp.uint32(rand_seed), mask,
             width=self.settings.width, height=self.settings.height,
             settings=self.pass_settings,
             use_filter_table=cam.filter != PixelFilter.BOX,
+            cache=self.cache if use_cache else None,
+            cache_mode="query" if use_cache else "off",
         )
         self.full_buf, self.half_buf, self.sample_counts = _accumulate(
             self.full_buf, self.half_buf, self.sample_counts, out["color"], mask
@@ -145,6 +193,11 @@ class Renderer:
 
     def render(self, scene, cam: Camera, samples: int, rand_seed: int = 0):
         for _ in range(samples):
+            if self.settings.use_spatial_cache:
+                # per-frame cache loop ordering mirrors the reference test
+                # driver (SURVEY §3.6): update → resolve → query render
+                self.update_spatial_cache(scene, cam, rand_seed)
+                self.resolve_spatial_cache()
             self.render_sample(scene, cam, rand_seed)
         return self.radiance_image()
 

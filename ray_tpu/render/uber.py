@@ -79,7 +79,7 @@ def _spec_ior_from_specular(specular):
 
 
 def gather_uber_params(scene, mat_id, uv, I, N, backfacing, ext_ior, tex_rand,
-                       regularize_alpha=0.0, lam=None):
+                       regularize_alpha=0.0, lam=None, min_roughness=0.0):
     """Gather material columns for each hit and resolve node-type semantics
     into the uber parameter block (reference ShadeRef.cpp:1419-1649).
 
@@ -102,6 +102,8 @@ def gather_uber_params(scene, mat_id, uv, I, N, backfacing, ext_ior, tex_rand,
     rough_tex = m["roughness_texture"][i]
     rtex = _fetch(rough_tex)
     roughness = roughness * jnp.where(rough_tex >= 0, rtex[:, 0], 1.0)
+    if min_roughness > 0.0:  # spatial-cache update pass (ShadeRef.cpp:1450)
+        roughness = jnp.maximum(roughness, min_roughness)
 
     metallic = m["metallic"][i]
     met_tex = m["metallic_texture"][i]
