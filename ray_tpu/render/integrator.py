@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ray_tpu.ops import rng
 from ray_tpu.ops.linalg import (
+    HIT_BIAS,
     MAX_DIST,
     dot,
     offset_ray,
@@ -198,6 +199,58 @@ def render_tile(
             tri_vis=scene.tri_vis if scene.has_visibility else None,
             ray_mask=mask if scene.has_visibility else None,
         )
+
+    def _trace_transmittance(ro, rd, dist, active):
+        """Shadow-ray transparency loop (reference IntersectScene shadow,
+        CoreRef.cpp:3160-3262): march through transparent surfaces
+        multiplying their Mix-weighted colors; a solid-side hit zeroes the
+        factor.  Returns (R, 3) transmittance."""
+        rc0 = jnp.ones((R, 3), jnp.float32)
+
+        def cond(s):
+            it, _ro, _dist, _rc, act = s
+            return jnp.any(act) & (it <= settings.max_transp_depth)
+
+        def body(s):
+            it, ro_, dist_, rc_, act = s
+            hit, _ = _trace_closest(
+                ro_, rd, jnp.zeros((R,), jnp.float32), dist_, act,
+                jnp.full((R,), RAY_SHADOW, jnp.int32),
+            )
+            miss = hit.prim < 0
+            sp = jnp.maximum(hit.prim, 0)
+            side_solid = jnp.where(
+                hit.backface, scene.tri_solid[sp, 1], scene.tri_solid[sp, 0]
+            )
+            blocked = act & (~miss) & side_solid
+            rc_ = jnp.where(blocked[:, None], 0.0, rc_)
+            cont = act & (~miss) & (~side_solid)
+
+            vidx = scene.tri_vidx[sp]
+            w = (1.0 - hit.u - hit.v)[:, None]
+            uv = (
+                w * scene.uvs[vidx[:, 0]]
+                + hit.u[:, None] * scene.uvs[vidx[:, 1]]
+                + hit.v[:, None] * scene.uvs[vidx[:, 2]]
+            )
+            mat_id = surface_mod.pick_hit_material(scene, hit.prim, hit.backface)
+            tcol = surface_mod.shadow_transmittance(scene, mat_id, uv)
+            rc_ = jnp.where(cont[:, None], rc_ * tcol, rc_)
+
+            adv = hit.t + HIT_BIAS
+            ro_ = jnp.where(cont[:, None], ro_ + rd * adv[:, None], ro_)
+            dist_ = jnp.where(cont, dist_ - adv, dist_)
+            cont = cont & (jnp.max(rc_, axis=-1) > 1e-6) & (dist_ > HIT_BIAS)
+            return it + 1, ro_, dist_, rc_, cont
+
+        it, _ro, _dist, rc, act = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), ro, dist, rc0, active)
+        )
+        # lanes that exhausted the transparency budget block fully
+        # (depth > max_transp_depth → rc = 0, CoreRef.cpp:3189-3191);
+        # lanes that never traced pass 1.0 (caller masks them anyway)
+        rc = jnp.where(act[:, None], 0.0, rc)
+        return jnp.where(active[:, None], rc, 1.0)
 
     def bounce_step(state, bounce):
         (ro, rd, t_max, throughput, bsdf_pdf, active, depth, ior_stack,
@@ -403,13 +456,23 @@ def render_tile(
             sh_dist = jnp.sqrt(jnp.maximum(dot(to_lp, to_lp, False), 1e-30))
             sh_d = to_lp / sh_dist[:, None]
             sh_dist = sh_dist * ls.dist_mul
-            occluded = _trace_occlusion(
-                sh_o, sh_d, jnp.zeros((R,), jnp.float32), sh_dist * 0.999,
-                nee_valid & ls.cast_shadow,
-            )
-            visible = nee_valid & ((~ls.cast_shadow) | (~occluded))
-            sh_contrib = _clamp_contribution(throughput * nee_col, limit0)
-            accum = accum + jnp.where(visible[:, None], sh_contrib, 0.0)
+            if scene.has_transparency:
+                rc = _trace_transmittance(
+                    sh_o, sh_d, sh_dist * 0.999, nee_valid & ls.cast_shadow
+                )
+                factor = jnp.where(ls.cast_shadow[:, None], rc, 1.0)
+                sh_contrib = _clamp_contribution(
+                    throughput * nee_col * factor, limit0
+                )
+                accum = accum + jnp.where(nee_valid[:, None], sh_contrib, 0.0)
+            else:
+                occluded = _trace_occlusion(
+                    sh_o, sh_d, jnp.zeros((R,), jnp.float32), sh_dist * 0.999,
+                    nee_valid & ls.cast_shadow,
+                )
+                visible = nee_valid & ((~ls.cast_shadow) | (~occluded))
+                sh_contrib = _clamp_contribution(throughput * nee_col, limit0)
+                accum = accum + jnp.where(visible[:, None], sh_contrib, 0.0)
 
         # ---------- BSDF sampling / next bounce ----------
         brx, bry = rng.scrambled_2d_rand(

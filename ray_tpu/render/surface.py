@@ -203,6 +203,32 @@ def resolve_mix(scene, mat_id, uv, mix_rand, I, N, ext_ior, backfacing, tex_rand
     return mat_id, mix_rand, mix_weight
 
 
+def shadow_transmittance(scene, mat_id, uv, lam=None, depth: int = MAX_MIX_DEPTH):
+    """Deterministic Mix-weighted transparency color for shadow rays
+    (reference CoreRef.cpp:3213-3250: the shadow loop expands the Mix DAG
+    with weights — no Fresnel, no stochastic pick — and sums the
+    Transparent leaves' base colors)."""
+    mats = scene.materials
+    safe_id = jnp.maximum(mat_id, 0)
+    mtype = mats["type"][safe_id]
+    is_transp = (mtype == ShadingNode.TRANSPARENT) & (mat_id >= 0)
+    leaf = jnp.where(is_transp[:, None], mats["base_color"][safe_id], 0.0)
+    if depth == 0:
+        return leaf
+    is_mix = (mtype == ShadingNode.MIX) & (mat_id >= 0)
+    mix_val = mats["strength"][safe_id]
+    base_tex = mats["base_texture"][safe_id]
+    from ray_tpu.scene.textures import sample_bilinear, texture_lod
+
+    lod = None if lam is None else texture_lod(scene.textures, base_tex, lam)
+    tex = sample_bilinear(scene.textures, base_tex, uv, lod)
+    mix_val = jnp.clip(mix_val * jnp.where(base_tex >= 0, tex[:, 0], 1.0), 0.0, 1.0)
+    t1 = shadow_transmittance(scene, mats["mix_mat1"][safe_id], uv, lam, depth - 1)
+    t2 = shadow_transmittance(scene, mats["mix_mat2"][safe_id], uv, lam, depth - 1)
+    mixed = (1.0 - mix_val)[:, None] * t1 + mix_val[:, None] * t2
+    return jnp.where(is_mix[:, None], mixed, leaf)
+
+
 def apply_normal_map(scene, mat_id, surf: Surface, I, tex_rand, lam=None):
     """Tangent-space normal mapping + Cycles' ensure_valid_reflection-lite
     clamp (full iterative version: ShadeRef.cpp:252-352; we clamp the shading

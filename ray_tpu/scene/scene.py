@@ -106,6 +106,12 @@ class SceneFlat:
     tri_vis: Any = None          # flatten: (T,) i32 visibility per leaf tri
     inst: Any = None             # tlas: dict of per-instance columns
     tri_light_local: Any = None  # tlas: (T,) i32 per-mesh emissive ordinal
+    # --- shadow transparency (reference MATERIAL_SOLID_BIT,
+    # SceneCPU.cpp:470-499 + shadow loop CoreRef.cpp:3160-3262) ---
+    tri_solid: Any = None        # (T, 2) bool front/back side blocks shadows
+    has_transparency: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def num_tris(self) -> int:
@@ -295,6 +301,37 @@ class Scene:
             return self._finalize_tlas(max_leaf, light_tree_min_lights, has_vis)
         return self._finalize_flatten(max_leaf, light_tree_min_lights, has_vis)
 
+    def _material_solidity(self) -> np.ndarray:
+        """Per-material shadow solidity: True iff the Mix DAG below the
+        material contains no TRANSPARENT leaf (reference MATERIAL_SOLID_BIT
+        assignment, SceneCPU.cpp:470-499)."""
+        mats = self._materials if self._materials else [MaterialDesc()]
+        solid = np.ones(len(mats), np.bool_)
+        for i, d in enumerate(mats):
+            stack = [i]
+            seen = set()
+            while stack:
+                j = stack.pop()
+                if j < 0 or j >= len(mats) or j in seen:
+                    continue
+                seen.add(j)
+                m = mats[j]
+                if m.type == ShadingNode.TRANSPARENT:
+                    solid[i] = False
+                    break
+                if m.type == ShadingNode.MIX:
+                    stack.extend(m.mix_materials)
+        return solid
+
+    def _tri_solidity(self, tri_mats: np.ndarray) -> np.ndarray:
+        """(T, 2) per-side shadow-blocker flags from leaf-order materials
+        (missing material = solid, like the reference's 0xffff back_mi)."""
+        solid = self._material_solidity()
+        out = np.ones(tri_mats.shape, np.bool_)
+        valid = (tri_mats >= 0) & (tri_mats < solid.shape[0])
+        out[valid] = solid[tri_mats[valid]]
+        return out
+
     def _emissive_light_of(self, mat_id: int):
         """TRI-light registration rule (SceneCPU.cpp:1214): returns
         (radiance color, two_sided) for emissive importance-sampled
@@ -395,6 +432,7 @@ class Scene:
             "tri_mat": tri_mats,
             "tri_light": tri_light,
             "tri_vis": tri_viss,
+            "tri_solid": self._tri_solidity(tri_mats),
             "bvh_soa": pack_bvh_soa(bvh),
             "tri_soa": pack_tri_soa(vertices, tri_vidx),
             "root_lo": bvh.root_lo,
@@ -407,6 +445,7 @@ class Scene:
             stack_size=bvh_depth(bvh) + 4,
             mode="flatten",
             has_visibility=has_vis,
+            has_transparency=not bool(self._material_solidity().all()),
             inst=None,
             tri_light_local=None,
             **common["static"],
@@ -589,6 +628,7 @@ class Scene:
             "tri_mat": tri_mats,
             "tri_light": np.full(tri_vidx.shape[0], -1, np.int32),
             "tri_light_local": tri_light_local,
+            "tri_solid": self._tri_solidity(tri_mats),
             "bvh_soa": nodes_soa,
             "tri_soa": pack_tri_soa(vertices, tri_vidx),
             "root_lo": tlas.root_lo,
@@ -602,6 +642,7 @@ class Scene:
             stack_size=bvh_depth(tlas) + max_blas_depth + 6,
             mode="tlas",
             has_visibility=has_vis,
+            has_transparency=not bool(self._material_solidity().all()),
             tri_vis=None,
             **common["static"],
         )
