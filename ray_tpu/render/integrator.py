@@ -168,37 +168,41 @@ def render_tile(
     def _trace_closest(ro, rd, t_min, t_max, active, mask):
         """Mode dispatch: flattened single-BVH vs two-level TLAS/BLAS.
         Returns (hit, inst) — inst is None in flatten mode."""
-        if is_tlas:
-            h = trace_closest_tlas(
-                scene.bvh_soa, scene.tri_soa, scene.inst,
-                ro, rd, t_min, t_max, active,
-                ray_mask=mask if scene.has_visibility else None,
+        # named scopes = the profiler-visible analogue of the reference's
+        # per-stage stats_t timers (RendererBase.h:230-242)
+        with jax.named_scope("trace_closest"):
+            if is_tlas:
+                h = trace_closest_tlas(
+                    scene.bvh_soa, scene.tri_soa, scene.inst,
+                    ro, rd, t_min, t_max, active,
+                    ray_mask=mask if scene.has_visibility else None,
+                    max_leaf=scene.max_leaf, stack_size=scene.stack_size,
+                )
+                return h, h.inst
+            h = trace_closest_soa(
+                scene.bvh_soa, scene.tri_soa, ro, rd, t_min, t_max, active,
                 max_leaf=scene.max_leaf, stack_size=scene.stack_size,
+                tri_vis=scene.tri_vis if scene.has_visibility else None,
+                ray_mask=mask if scene.has_visibility else None,
             )
-            return h, h.inst
-        h = trace_closest_soa(
-            scene.bvh_soa, scene.tri_soa, ro, rd, t_min, t_max, active,
-            max_leaf=scene.max_leaf, stack_size=scene.stack_size,
-            tri_vis=scene.tri_vis if scene.has_visibility else None,
-            ray_mask=mask if scene.has_visibility else None,
-        )
-        return h, None
+            return h, None
 
     def _trace_occlusion(ro, rd, t_min, t_max, active):
         mask = jnp.full((R,), RAY_SHADOW, jnp.int32)
-        if is_tlas:
-            return trace_occlusion_tlas(
-                scene.bvh_soa, scene.tri_soa, scene.inst,
-                ro, rd, t_min, t_max, active,
-                ray_mask=mask if scene.has_visibility else None,
+        with jax.named_scope("trace_shadow"):
+            if is_tlas:
+                return trace_occlusion_tlas(
+                    scene.bvh_soa, scene.tri_soa, scene.inst,
+                    ro, rd, t_min, t_max, active,
+                    ray_mask=mask if scene.has_visibility else None,
+                    max_leaf=scene.max_leaf, stack_size=scene.stack_size,
+                )
+            return trace_occlusion_soa(
+                scene.bvh_soa, scene.tri_soa, ro, rd, t_min, t_max, active,
                 max_leaf=scene.max_leaf, stack_size=scene.stack_size,
+                tri_vis=scene.tri_vis if scene.has_visibility else None,
+                ray_mask=mask if scene.has_visibility else None,
             )
-        return trace_occlusion_soa(
-            scene.bvh_soa, scene.tri_soa, ro, rd, t_min, t_max, active,
-            max_leaf=scene.max_leaf, stack_size=scene.stack_size,
-            tri_vis=scene.tri_vis if scene.has_visibility else None,
-            ray_mask=mask if scene.has_visibility else None,
-        )
 
     def _trace_transmittance(ro, rd, dist, active):
         """Shadow-ray transparency loop (reference IntersectScene shadow,

@@ -40,6 +40,10 @@ class RenderSettings:
     # the reference; tunable here because the voxel-hit rate scales with
     # resolution — tiny test renders need 1)
     cache_downsample: int = 4
+    # per-stage wall-clock stats (stats_t, RendererBase.h:230-242).  Off by
+    # default: honest timing forces a device sync per call, which breaks
+    # async dispatch pipelining.
+    collect_stats: bool = False
 
 
 @dataclasses.dataclass
@@ -115,9 +119,36 @@ class Renderer:
         self.aux_dn = jnp.zeros((h * w, 4), jnp.float32)
         self.sample_counts = jnp.zeros((h * w,), jnp.int32)
         self.active_px = jnp.ones((h * w,), jnp.bool_)
-        self.stats = {"time_primary_trace_us": 0.0, "time_shade_us": 0.0}
+        # stats_t analogue (RendererBase.h:230-242).  One jit fuses raygen/
+        # trace/shade/shadow, so the per-stage split inside a sample comes
+        # from jax.profiler traces (named scopes mark each stage); the
+        # driver-level passes are timed here.
+        self.stats = {
+            "time_render_us": 0.0,
+            "time_cache_update_us": 0.0,
+            "time_cache_resolve_us": 0.0,
+            "time_denoise_us": 0.0,
+            "rays_traced": 0,
+            "samples": 0,
+        }
         self.cache = None            # spatial radiance cache state
         self.cache_iteration = 0     # RegionContext.cache_iteration
+
+    def get_stats(self) -> dict:
+        """RendererBase::GetStats (RendererBase.h:244)."""
+        return dict(self.stats)
+
+    def reset_stats(self):
+        for k in self.stats:
+            self.stats[k] = 0.0 if k.startswith("time") else 0
+
+    def _timed(self, key, value):
+        """Wall-clock bracket helper: blocks on `value` and charges the
+        elapsed time since `self._t0` to stats[key]."""
+        import time
+
+        jax.block_until_ready(value)
+        self.stats[key] += (time.perf_counter() - self._t0) * 1e6
 
     def clear(self):
         self.iteration = 0
@@ -143,6 +174,8 @@ class Renderer:
             cam, fstop=jnp.float32(0.0), filter=int(PixelFilter.BOX)
         )
         table = jnp.asarray(build_filter_table(cam_u.filter, cam_u.filter_width))
+        import time
+        self._t0 = time.perf_counter()
         out = _render_sample_jit(
             scene, cam_u, table,
             jnp.uint32(self.cache_iteration), jnp.uint32(rand_seed),
@@ -151,14 +184,21 @@ class Renderer:
             use_filter_table=False, cache=self.cache, cache_mode="update",
         )
         self.cache = out["cache"]
+        if self.settings.collect_stats:
+            self._timed("time_cache_update_us", self.cache)
         return out
 
     def resolve_spatial_cache(self):
         """EMA-merge curr into prev + aging (RendererCPU.h:1165-1212)."""
+        import time
+
         from ray_tpu.render import radcache
 
         assert self.cache is not None, "no cache to resolve"
+        self._t0 = time.perf_counter()
         self.cache = radcache.resolve(self.cache)
+        if self.settings.collect_stats:
+            self._timed("time_cache_resolve_us", self.cache)
 
     def render_sample(self, scene, cam: Camera, rand_seed: int = 0):
         """Advance one progressive sample over the full frame."""
@@ -169,6 +209,8 @@ class Renderer:
         adaptive = self.settings.variance_threshold > 0.0
         mask = self.active_px if adaptive else jnp.ones_like(self.active_px)
         use_cache = self.settings.use_spatial_cache and self.cache is not None
+        import time
+        self._t0 = time.perf_counter()
         out = _render_sample_jit(
             scene, cam, table,
             jnp.uint32(self.iteration), jnp.uint32(rand_seed), mask,
@@ -181,6 +223,10 @@ class Renderer:
         self.full_buf, self.half_buf, self.sample_counts = _accumulate(
             self.full_buf, self.half_buf, self.sample_counts, out["color"], mask
         )
+        self.stats["samples"] += 1
+        if self.settings.collect_stats:
+            self._timed("time_render_us", self.full_buf)
+            self.stats["rays_traced"] += int(out["rays_traced"])
         it = self.iteration
         self.aux_base = self.aux_base + (out["base_color"] - self.aux_base) / it
         self.aux_dn = self.aux_dn + (out["depth_normal"] - self.aux_dn) / it
@@ -218,6 +264,38 @@ class Renderer:
         h, w = self.settings.height, self.settings.width
         v = jnp.abs(self.full_buf - self.half_buf)
         return np.asarray(v).reshape(h, w, 3)
+
+    # -- checkpoint/resume (SURVEY §5: progressive state = buffers +
+    # iteration; the reference keeps it in memory only, we add disk
+    # round-tripping so long renders survive restarts) ------------------
+    _STATE_KEYS = ("full_buf", "half_buf", "aux_base", "aux_dn",
+                   "sample_counts", "active_px")
+
+    def save_state(self, path: str):
+        """Serialize progressive render state (+ spatial cache) to .npz."""
+        data = {k: np.asarray(getattr(self, k)) for k in self._STATE_KEYS}
+        data["iteration"] = np.int64(self.iteration)
+        data["cache_iteration"] = np.int64(self.cache_iteration)
+        if self.cache is not None:
+            for f, v in zip(self.cache._fields, self.cache):
+                data[f"cache_{f}"] = np.asarray(v)
+        np.savez_compressed(path, **data)
+
+    def load_state(self, path: str):
+        """Resume from ``save_state`` output; shapes must match settings."""
+        d = np.load(path)
+        for k in self._STATE_KEYS:
+            cur = getattr(self, k)
+            assert d[k].shape == cur.shape, (k, d[k].shape, cur.shape)
+            setattr(self, k, jnp.asarray(d[k]))
+        self.iteration = int(d["iteration"])
+        self.cache_iteration = int(d["cache_iteration"])
+        if "cache_key_lo" in d:
+            from ray_tpu.render.radcache import CacheState
+
+            self.cache = CacheState(*(
+                jnp.asarray(d[f"cache_{f}"]) for f in CacheState._fields
+            ))
 
     def denoise_image(self, mode: str = "nlm") -> np.ndarray:
         """Denoise the accumulated radiance (RendererBase::DenoiseImage,

@@ -126,3 +126,40 @@ def test_analytic_lights_illuminate():
         img = _render(flat, cam, spp=8)
         assert img.mean() > 0.01, kind
         assert np.isfinite(img).all(), kind
+
+
+def test_checkpoint_resume_bitexact(tmp_path, furnace_white):
+    """Progressive state round-trips through disk: N samples, save, resume
+    in a fresh Renderer, continue — must match an uninterrupted run
+    bit-for-bit (SURVEY §5 checkpoint/resume; determinism is the property
+    path-replay backprop depends on)."""
+    flat, cam = furnace_white
+    ps = PassSettings(max_total_depth=3, min_total_depth=3)
+
+    r_full = Renderer(RenderSettings(RES, RES), ps)
+    img_full = r_full.render(flat, cam, 6)
+
+    r_a = Renderer(RenderSettings(RES, RES), ps)
+    r_a.render(flat, cam, 3)
+    path = str(tmp_path / "ckpt.npz")
+    r_a.save_state(path)
+
+    r_b = Renderer(RenderSettings(RES, RES), ps)
+    r_b.load_state(path)
+    assert r_b.iteration == 3
+    img_resumed = r_b.render(flat, cam, 3)
+
+    np.testing.assert_array_equal(img_resumed, img_full)
+
+
+def test_stats_collection(furnace_white):
+    flat, cam = furnace_white
+    r = Renderer(
+        RenderSettings(RES, RES, collect_stats=True),
+        PassSettings(max_total_depth=2, min_total_depth=2),
+    )
+    r.render(flat, cam, 2)
+    s = r.get_stats()
+    assert s["samples"] == 2
+    assert s["time_render_us"] > 0
+    assert s["rays_traced"] > 2 * RES * RES  # at least primaries per sample
