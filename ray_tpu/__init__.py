@@ -20,16 +20,31 @@ TPU-first:
   ``psum`` accumulator/gradient reduction.
 """
 
-from ray_tpu.scene.camera import Camera, make_camera
+from ray_tpu.scene.camera import Camera, CamType, PixelFilter, make_camera
 from ray_tpu.scene.scene import Scene, SceneFlat
 from ray_tpu.scene.materials import MaterialDesc
 from ray_tpu.scene.lights import LightDesc
 from ray_tpu.render.renderer import Renderer, RenderSettings, RegionContext
+from ray_tpu.render.integrator import PassSettings
+from ray_tpu.render.tonemap import ViewTransform
+from ray_tpu.api import (
+    DeviceInfo,
+    ILog,
+    LogNull,
+    LogStdout,
+    RendererType,
+    create_renderer,
+    match_device_names,
+    query_available_devices,
+    version,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Camera",
+    "CamType",
+    "PixelFilter",
     "make_camera",
     "Scene",
     "SceneFlat",
@@ -38,5 +53,16 @@ __all__ = [
     "Renderer",
     "RenderSettings",
     "RegionContext",
+    "PassSettings",
+    "ViewTransform",
+    "DeviceInfo",
+    "ILog",
+    "LogNull",
+    "LogStdout",
+    "RendererType",
+    "create_renderer",
+    "match_device_names",
+    "query_available_devices",
+    "version",
     "__version__",
 ]

@@ -238,9 +238,20 @@ def _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf, stack_size,
 # VMEM-resident BVH kernel up to T_MAX_BVH nodes/tris; XLA wavefront beyond.
 _PALLAS_BRUTE_MAX = 40
 
+# process-global Pallas opt-out: the facade's RendererType.REF (api.py)
+# forces the plain-XLA path, which doubles as the "scalar reference"
+# backend for parity testing (the role Ref::SIMDPolicy plays in the
+# reference, internal/RendererCPU.h:29)
+_FORCE_XLA = False
+
+
+def set_force_xla(value: bool) -> None:
+    global _FORCE_XLA
+    _FORCE_XLA = bool(value)
+
 
 def _pallas_mode(n_nodes: int, n_tris: int) -> str:
-    if jax.default_backend() != "tpu":
+    if _FORCE_XLA or jax.default_backend() != "tpu":
         return "xla"
     from ray_tpu.ops import traverse_pallas as tp
 

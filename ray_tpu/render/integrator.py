@@ -71,6 +71,29 @@ class PassSettings:
     # backprop — the detached RNG makes recomputation exact, trading HBM
     # residency of per-bounce residuals for re-running the bounce math
     remat: bool = False
+    # ePassFlags (reference Types.h:85-91).  The reference parses these into
+    # camera_t (SceneCommon.cpp:94-98) but its v0.4.0 cores leave them inert
+    # (the consuming pass_info_t is commented out, Core.h:453-474); here they
+    # are fully implemented.  "Direct" = light paths with ≤1 non-light
+    # surface vertex (NEE at the first vertex / emission reached with
+    # total_depth ≤ 1).
+    skip_direct: bool = False    # SkipDirectLight
+    skip_indirect: bool = False  # SkipIndirectLight
+    lighting_only: bool = False  # LightingOnly: white albedo at primary hit
+    no_background: bool = False  # NoBackground: env invisible to camera rays
+    output_sh: bool = False      # OutputSH: accumulate SH-L1 radiance AUX
+
+
+def _sh_l1_basis(w):
+    """SH L1 basis evaluated at unit directions w (R,3) → (R,4) in the
+    {L0, L1_y, L1_z, L1_x} order of the reference's shl1_data_t
+    (Types.h:51-54, 4 coefficients × RGB)."""
+    ones = jnp.ones(w.shape[:-1], w.dtype)
+    return jnp.stack(
+        [0.282095 * ones, 0.488603 * w[..., 1], 0.488603 * w[..., 2],
+         0.488603 * w[..., 0]],
+        axis=-1,
+    )
 
 
 def _clamp_contribution(col, limit):
@@ -138,6 +161,7 @@ def render_tile(
     pixel_mask=None,
     cache=None,
     cache_mode: str = "off",
+    rays=None,
 ):
     """Render one sample of a (tile_h, tile_w) tile.
 
@@ -152,12 +176,17 @@ def render_tile(
     (ShadeRef.cpp:1370-1392); 'update' records per-bounce contribution/
     throughput/vertex columns and back-propagates them into the cache
     after the scan (result key 'cache' holds the new state).
+
+    ``rays``: optional pre-built :class:`PrimaryRays` batch — used by the
+    Geo-camera / lightmap baker (render/lightmap.py) to replace the pinhole
+    ray source; ``cam`` may be None in that case.
     """
-    rays = generate_primary_rays(
-        cam, filter_table, x0, y0, iteration, rand_seed,
-        width=width, height=height, tile_w=tile_w, tile_h=tile_h,
-        use_filter_table=use_filter_table,
-    )
+    if rays is None:
+        rays = generate_primary_rays(
+            cam, filter_table, x0, y0, iteration, rand_seed,
+            width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+            use_filter_table=use_filter_table,
+        )
     R = tile_w * tile_h
     seed = rng.pixel_seed(rays.px, rays.py, rand_seed)
     sample_i = jnp.asarray(iteration, jnp.uint32) - 1
@@ -259,7 +288,11 @@ def render_tile(
     def bounce_step(state, bounce):
         (ro, rd, t_max, throughput, bsdf_pdf, active, depth, ior_stack,
          accum, aux_base, aux_dn, ray_mask, cone_width, cone_spread,
-         vertex_count) = state
+         vertex_count, *sh_state) = state
+        if settings.output_sh:
+            # sh_open: lane has not yet shaded its first real (non-
+            # transparent) vertex; sh_dir: the BSDF direction sampled there
+            sh_dir, sh_open, aux_sh = sh_state
         accum_in = accum
         throughput_in = throughput
         is_first = bounce == 0
@@ -267,12 +300,39 @@ def render_tile(
             is_first, settings.clamp_direct, settings.clamp_indirect
         )
 
+        def _add(acc, contrib, mask, w_dir=None):
+            """Masked radiance add; with OutputSH also projects the
+            contribution onto the SH-L1 basis of the direction it arrived
+            at the pixel's first real vertex from (the local direction
+            while that vertex hasn't been shaded yet, the BSDF direction
+            sampled there afterwards)."""
+            c = jnp.where(mask[:, None], contrib, 0.0)
+            if settings.output_sh:
+                nonlocal aux_sh
+                local = rd if w_dir is None else w_dir
+                w = jnp.where(sh_open[:, None], local, sh_dir)
+                aux_sh = aux_sh + _sh_l1_basis(w)[:, :, None] * c[:, None, :]
+            return acc + c
+
         hit, hit_inst = _trace_closest(
             ro, rd, jnp.zeros((R,), jnp.float32), t_max, active, ray_mask
         )
         miss = hit.prim < 0
         total_depth = depth[:, 0] + depth[:, 1] + depth[:, 2]
         indirect = total_depth > 0
+
+        # SkipDirect/SkipIndirect gates: a light reached with ≤1 surface
+        # vertex on the path is "direct" (hit-type contributions: the light
+        # is the hit itself, so total_depth ≤ 1; NEE: the vertex being
+        # shaded is the 1 surface vertex, so total_depth == 0)
+        hit_keep = jnp.ones((R,), jnp.bool_)
+        nee_keep = jnp.ones((R,), jnp.bool_)
+        if settings.skip_direct:
+            hit_keep = hit_keep & (total_depth > 1)
+            nee_keep = nee_keep & (total_depth > 0)
+        if settings.skip_indirect:
+            hit_keep = hit_keep & (total_depth <= 1)
+            nee_keep = nee_keep & (total_depth == 0)
         rand_dim = jnp.uint32(rng.RAND_DIM_BASE_COUNT) + (
             (total_depth + depth[:, 3]).astype(jnp.uint32)
             * jnp.uint32(rng.RAND_DIM_BOUNCE_COUNT)
@@ -301,7 +361,7 @@ def render_tile(
                 )
                 lcol = lcol * lw[:, None]
             l_contrib = _clamp_contribution(throughput * lcol, limit0)
-            accum = accum + jnp.where(light_first[:, None], l_contrib, 0.0)
+            accum = _add(accum, l_contrib, light_first & hit_keep)
 
         # ---------- environment on miss (ShadeRef.cpp:1192-1216) ----------
         env_col = light_sampling.env_color(scene, rd)
@@ -321,9 +381,10 @@ def render_tile(
             )
             env_col = env_col * mis_w[:, None]
         env_contrib = _clamp_contribution(throughput * env_col, limit0)
-        accum = accum + jnp.where(
-            (active & miss & (~light_first))[:, None], env_contrib, 0.0
-        )
+        env_keep = hit_keep
+        if settings.no_background:
+            env_keep = env_keep & indirect
+        accum = _add(accum, env_contrib, active & miss & (~light_first) & env_keep)
 
         alive = active & (~miss) & (~light_first)
 
@@ -369,6 +430,15 @@ def render_tile(
                 else 0.0
             ),
         )
+        if settings.lighting_only:
+            # lightmap mode: ignore albedo at the primary vertex (reference
+            # pass_info_t::should_consider_albedo, Core.h:464-467)
+            params = params._replace(
+                base_color=jnp.where(
+                    is_first, jnp.ones_like(params.base_color),
+                    params.base_color,
+                )
+            )
 
         # ---------- emissive hit (ShadeRef.cpp:1502-1539) ----------
         emis_mask = alive & params.is_emissive & (
@@ -379,7 +449,7 @@ def render_tile(
             lid = surface_mod.hit_light_id(scene, hit.prim, hit_inst)
             lpick = light_sampling.light_pick_pdf(scene, ro, lid)
             light_pdf = light_sampling.tri_light_hit_pdf(
-                scene, hit.prim, hit.t, rd, lpick, light_id=lid
+                scene, hit.prim, hit.t, rd, lpick, light_id=lid, ro=ro
             )
             # MIS only where NEE could actually have sampled this hit: the
             # light's front side, or any side if doublesided
@@ -393,7 +463,7 @@ def render_tile(
         emis_contrib = _clamp_contribution(
             throughput * params.emission * (mix_weight * mis_w)[:, None], limit0
         )
-        accum = accum + jnp.where(emis_mask[:, None], emis_contrib, 0.0)
+        accum = _add(accum, emis_contrib, emis_mask & hit_keep)
 
         # AUX from primary hit
         take_aux = (is_first & alive)[:, None]
@@ -421,9 +491,7 @@ def render_tile(
                 cache, jax.lax.stop_gradient(surf.P),
                 jax.lax.stop_gradient(surf.plane_N), use_cache,
             )
-            accum = accum + jnp.where(
-                c_good[:, None], throughput * c_rad, 0.0
-            )
+            accum = _add(accum, throughput * c_rad, c_good)
             can_shade = can_shade & (~c_good)
 
         # ---------- NEE (SampleLightSource + eval + shadow ray) ----------
@@ -448,7 +516,7 @@ def render_tile(
             nee_col = ls.col * f_cos * (
                 mix_weight * nee_mis * safe_div_pos(1.0, ls.pdf)
             )[:, None]
-            nee_valid = can_shade & (ls.pdf > 0.0) & (
+            nee_valid = can_shade & nee_keep & (ls.pdf > 0.0) & (
                 jnp.max(nee_col, axis=-1) > 0.0
             )
             n_dot_l = dot(surf.N, ls.L, False)
@@ -468,7 +536,7 @@ def render_tile(
                 sh_contrib = _clamp_contribution(
                     throughput * nee_col * factor, limit0
                 )
-                accum = accum + jnp.where(nee_valid[:, None], sh_contrib, 0.0)
+                accum = _add(accum, sh_contrib, nee_valid, w_dir=ls.L)
             else:
                 occluded = _trace_occlusion(
                     sh_o, sh_d, jnp.zeros((R,), jnp.float32), sh_dist * 0.999,
@@ -476,7 +544,7 @@ def render_tile(
                 )
                 visible = nee_valid & ((~ls.cast_shadow) | (~occluded))
                 sh_contrib = _clamp_contribution(throughput * nee_col, limit0)
-                accum = accum + jnp.where(visible[:, None], sh_contrib, 0.0)
+                accum = _add(accum, sh_contrib, visible, w_dir=ls.L)
 
         # ---------- BSDF sampling / next bounce ----------
         brx, bry = rng.scrambled_2d_rand(
@@ -497,6 +565,9 @@ def render_tile(
             | (is_refr & (depth[:, 2] < settings.max_refr_depth))
             | (is_transp & (depth[:, 3] < settings.max_transp_depth))
         ) & jnp.where(is_transp, True, total_depth < settings.max_total_depth)
+        if settings.skip_indirect:
+            # nothing beyond the first bounce can contribute — stop early
+            depth_ok = depth_ok & (is_transp | (total_depth < 1))
 
         new_throughput = throughput * bs.weight * mix_weight[:, None]
         tlum = jnp.max(new_throughput, axis=-1)
@@ -565,6 +636,13 @@ def render_tile(
         new_state = (ro, rd, t_max, throughput, bsdf_pdf, next_active, depth,
                      ior_stack, accum, aux_base, aux_dn, ray_mask,
                      cone_width, cone_spread, vertex_count)
+        if settings.output_sh:
+            # the first real (non-transparent) shaded vertex closes sh_open
+            # and pins the arrival direction for deeper contributions
+            real_vtx = can_shade & sh_open
+            sh_dir = jnp.where(real_vtx[:, None], bs.dir, sh_dir)
+            sh_open = sh_open & (~real_vtx)
+            new_state = new_state + (sh_dir, sh_open, aux_sh)
         # per-bounce ray counts for the Mrays/s stat (closest + shadow)
         n_traced = jnp.sum(active.astype(jnp.int32))
         if settings.use_nee and have_lights:
@@ -600,6 +678,12 @@ def render_tile(
         jnp.broadcast_to(rays.cone_spread, (R,)).astype(jnp.float32),
         jnp.zeros((R,), jnp.int32),                 # cache vertex count
     )
+    if settings.output_sh:
+        state0 = state0 + (
+            rays.rd,                                # sh_dir
+            jnp.ones((R,), jnp.bool_),              # sh_open
+            jnp.zeros((R, 4, 3), jnp.float32),      # SH-L1 accumulator
+        )
     n_iters = settings.max_total_depth + 1
     body = jax.checkpoint(bounce_step) if settings.remat else bounce_step
     state, ys = jax.lax.scan(
@@ -612,6 +696,9 @@ def render_tile(
         "depth_normal": aux_dn,
         "rays_traced": jnp.sum(ys["n_traced"]),
     }
+    if settings.output_sh:
+        # shl1_data_t analogue (Types.h:51): 4 SH-L1 coefficients × RGB
+        out["shl1"] = state[-1]
     if cache_mode == "update":
         out["cache"] = radcache.propagate_and_accumulate(
             cache, ys["delta"], ys["t_in"], ys["vtx_p"], ys["vtx_n"],

@@ -5,9 +5,11 @@ Vectorized equivalent of the reference's ``SampleLightSource``
 power-weighted CDF (the flux-proportional limit of the reference's
 hierarchical light-BVH descent), then sample a point/direction on it with
 the same per-type strategies — sphere via solid-angle cone, dir via cone,
-rect/disk/line via area sampling, triangle via area sampling, env via
-cosine-hemisphere (env importance map comes with the qtree in a later
-phase).  All light types are evaluated compute-all-select.
+rect via spherical rectangle (Ureña), triangle via spherical triangle
+(Arvo) — both with uniform-area fallback below SPHERICAL_AREA_THRESHOLD,
+mirroring USE_SPHERICAL_AREA_LIGHT_SAMPLING — disk/line via area sampling,
+env via the latlong luminance CDF.  All light types are evaluated
+compute-all-select.
 
 Output pdf convention: ``ls.pdf`` is the solid-angle pdf multiplied by the
 light pick probability, so an NEE contribution is ``ls.col·f_cos/ls.pdf``
@@ -18,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ray_tpu.ops.linalg import (
@@ -50,6 +53,171 @@ class LightSample(NamedTuple):
 
 def _sincos(x):
     return jnp.sin(x), jnp.cos(x)
+
+
+# Minimum solid angle to use the spherical parametrizations; below this the
+# math loses precision and the caller falls back to uniform area sampling
+# (reference internal/Constants.inl:12-13 SPHERICAL_AREA_THRESHOLD).
+SPHERICAL_AREA_THRESHOLD = 5e-5
+
+
+def _safe_div_signed(a, b, eps=1e-9):
+    """a/b with |b| clamped away from zero, preserving b's sign."""
+    mag = jnp.maximum(jnp.abs(b), eps)
+    return a / jnp.where(b < 0.0, -mag, mag)
+
+
+def _orthogonalize(a, b):
+    """Component of b orthogonal to unit a, normalized."""
+    return safe_normalize(b - dot(a, b) * a)
+
+
+def _angle_between(u, v):
+    return jnp.arccos(jnp.clip(dot(u, v, False), -1.0, 1.0))
+
+
+def _slerp(a, b, t):
+    """Spherical lerp between unit vectors, safe at θ→0."""
+    cos_th = jnp.clip(dot(a, b, False), -1.0, 1.0)
+    th = jnp.arccos(cos_th)
+    sin_th = jnp.sin(th)
+    ok = sin_th > 1e-6
+    inv = safe_div_pos(1.0, jnp.where(ok, sin_th, 1.0))
+    w0 = jnp.where(ok, jnp.sin((1.0 - t) * th) * inv, 1.0 - t)
+    w1 = jnp.where(ok, jnp.sin(t * th) * inv, t)
+    return w0[..., None] * a + w1[..., None] * b
+
+
+def sample_spherical_rectangle(P, light_pos, axis_u, axis_v, r1, r2):
+    """Ureña et al. area-preserving spherical-rectangle parametrization —
+    uniform solid-angle sampling of a rect light (reference
+    internal/CoreRef.cpp:1288-1354 ``SampleSphericalRectangle``).
+
+    ``axis_u``/``axis_v`` are the full (unnormalized) edge vectors.  Returns
+    ``(pdf, point, valid)``: pdf = 1/solid-angle, world-space sample point,
+    and valid=False where the subtended solid angle is below
+    SPHERICAL_AREA_THRESHOLD (caller falls back to area sampling).
+    """
+    corner = light_pos - 0.5 * axis_u - 0.5 * axis_v
+    ulen2 = jnp.maximum(dot(axis_u, axis_u, False), 1e-30)
+    vlen2 = jnp.maximum(dot(axis_v, axis_v, False), 1e-30)
+    ulen = jnp.sqrt(ulen2)
+    vlen = jnp.sqrt(vlen2)
+    x_ax = axis_u / ulen[..., None]
+    y_ax = axis_v / vlen[..., None]
+    z_ax = cross(x_ax, y_ax)
+
+    d0 = corner - P
+    z0 = dot(d0, z_ax, False)
+    # flip z to point against the shading point
+    flip = z0 > 0.0
+    z_ax = jnp.where(flip[..., None], -z_ax, z_ax)
+    z0 = jnp.where(flip, -z0, z0)
+    x0 = dot(d0, x_ax, False)
+    y0 = dot(d0, y_ax, False)
+    x1 = x0 + ulen
+    y1 = y0 + vlen
+
+    # internal angles (gamma_i) from the plane normals of the 4 edges
+    diff0, diff1, diff2, diff3 = x0 - x1, y1 - y0, x1 - x0, y0 - y1
+    nz0, nz1, nz2, nz3 = y0 * diff0, x1 * diff1, y1 * diff2, x0 * diff3
+    z0sq = z0 * z0
+
+    def _nrm(nz, df):
+        return nz * jax.lax.rsqrt(jnp.maximum(z0sq * df * df + nz * nz, 1e-30))
+
+    nz0 = _nrm(nz0, diff0)
+    nz1 = _nrm(nz1, diff1)
+    nz2 = _nrm(nz2, diff2)
+    nz3 = _nrm(nz3, diff3)
+    g0 = jnp.arccos(jnp.clip(-nz0 * nz1, -1.0, 1.0))
+    g1 = jnp.arccos(jnp.clip(-nz1 * nz2, -1.0, 1.0))
+    g2 = jnp.arccos(jnp.clip(-nz2 * nz3, -1.0, 1.0))
+    g3 = jnp.arccos(jnp.clip(-nz3 * nz0, -1.0, 1.0))
+
+    b0, b1 = nz0, nz2
+    k = 2.0 * PI - g2 - g3
+    area = g0 + g1 - k
+    valid = area > SPHERICAL_AREA_THRESHOLD
+    pdf = safe_div_pos(1.0, jnp.maximum(area, 1e-12))
+
+    # sample: cu → xu, then hv → yv (Ureña's marginal/conditional inversion)
+    au = r1 * area + k
+    sau, cau = _sincos(au)
+    fu = _safe_div_signed(cau * b0 - b1, sau)
+    cu = jnp.where(fu > 0.0, 1.0, -1.0) * jax.lax.rsqrt(
+        jnp.maximum(fu * fu + b0 * b0, 1e-30)
+    )
+    cu = jnp.clip(cu, -1.0, 1.0)
+    xu = -(cu * z0) / jnp.maximum(jnp.sqrt(jnp.maximum(1.0 - cu * cu, 0.0)), 1e-7)
+    xu = jnp.clip(xu, x0, x1)
+    d_ = jnp.sqrt(jnp.maximum(xu * xu + z0sq, 1e-30))
+    h0 = y0 * jax.lax.rsqrt(jnp.maximum(d_ * d_ + y0 * y0, 1e-30))
+    h1 = y1 * jax.lax.rsqrt(jnp.maximum(d_ * d_ + y1 * y1, 1e-30))
+    hv = h0 + r2 * (h1 - h0)
+    hv2 = hv * hv
+    yv = jnp.where(
+        hv2 < 1.0 - 1e-6,
+        (hv * d_) * jax.lax.rsqrt(jnp.maximum(1.0 - hv2, 1e-12)),
+        y1,
+    )
+    p = (
+        P
+        + xu[..., None] * x_ax
+        + yv[..., None] * y_ax
+        + z0[..., None] * z_ax
+    )
+    return pdf, p, valid
+
+
+def sample_spherical_triangle(P, p1, p2, p3, r1, r2):
+    """Arvo's stratified spherical-triangle sampling — uniform solid-angle
+    sampling of a triangle light (reference internal/CoreRef.cpp:1356-1427
+    ``SampleSphericalTriangle``).
+
+    Returns ``(pdf, direction, valid)``: pdf = 1/solid-angle, unit direction
+    from P, valid=False below SPHERICAL_AREA_THRESHOLD.
+    """
+    A = safe_normalize(p1 - P)
+    B = safe_normalize(p2 - P)
+    C = safe_normalize(p3 - P)
+
+    BA = _orthogonalize(A, B - A)
+    CA = _orthogonalize(A, C - A)
+    AB = _orthogonalize(B, A - B)
+    CB = _orthogonalize(B, C - B)
+    BC = _orthogonalize(C, B - C)
+    AC = _orthogonalize(C, A - C)
+
+    alpha = _angle_between(BA, CA)
+    beta = _angle_between(AB, CB)
+    gamma = _angle_between(BC, AC)
+    area = alpha + beta + gamma - PI
+    valid = area > SPHERICAL_AREA_THRESHOLD
+    pdf = safe_div_pos(1.0, jnp.maximum(area, 1e-12))
+
+    b_arc = jnp.arccos(jnp.clip(dot(C, A, False), -1.0, 1.0))
+    c_arc = jnp.arccos(jnp.clip(dot(A, B, False), -1.0, 1.0))
+
+    area_s = r1 * area
+    p_s, q_s = _sincos(area_s - alpha)
+    s_alpha, c_alpha = _sincos(alpha)
+    u_ = q_s - c_alpha
+    v_ = p_s + s_alpha * jnp.cos(c_arc)
+    denom = (v_ * p_s + u_ * q_s) * s_alpha
+    ratio = _safe_div_signed((v_ * q_s - u_ * p_s) * c_alpha - v_, denom, 1e-12)
+    s = safe_div_pos(1.0, jnp.maximum(b_arc, 1e-9)) * jnp.arccos(
+        jnp.clip(ratio, -1.0, 1.0)
+    )
+    C_s = _slerp(A, C, s)
+    cs_b = dot(C_s, B, False)
+    denom2 = jnp.arccos(jnp.clip(cs_b, -1.0, 1.0))
+    t = safe_div_pos(
+        jnp.arccos(jnp.clip(1.0 - r2 * (1.0 - cs_b), -1.0, 1.0)),
+        jnp.maximum(denom2, 1e-9),
+    )
+    direction = safe_normalize(_slerp(B, C_s, t))
+    return pdf, direction, valid
 
 
 def _map_to_cone(r1, r2, axis, radius):
@@ -276,11 +444,17 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
     out_area = jnp.where(is_dir & visible, dir_area, out_area)
     out_distmul = jnp.where(is_dir, MAX_DIST, out_distmul)
 
-    # ---- rect — CoreRef.cpp:3392-3422 (uniform area; spherical-rect later) --
+    # ---- rect — CoreRef.cpp:3392-3422: spherical-rectangle (Ureña) solid-
+    # angle sampling, falling back to uniform area sampling when the
+    # subtended solid angle is tiny (USE_SPHERICAL_AREA_LIGHT_SAMPLING) ----
     rect_u = lu * width[:, None]
     rect_v = lv * height[:, None]
     rect_fwd = safe_normalize(cross(rect_u, rect_v))
-    rp = lpos + rect_u * (r1 - 0.5)[:, None] + rect_v * (r2 - 0.5)[:, None]
+    sr_pdf, sr_p, sr_ok = sample_spherical_rectangle(
+        P, lpos, rect_u, rect_v, r1, r2
+    )
+    rp_area = lpos + rect_u * (r1 - 0.5)[:, None] + rect_v * (r2 - 0.5)[:, None]
+    rp = jnp.where(sr_ok[:, None], sr_p, rp_area)
     rvec = rp - P
     rdist = jnp.sqrt(jnp.maximum(dot(rvec, rvec, False), 1e-30))
     rect_L = rvec / rdist[:, None]
@@ -288,7 +462,11 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
     rcos = dot(-rect_L, rect_fwd, False)
     rcos_eff = jnp.where(doublesided, jnp.abs(rcos), rcos)
     rect_ok = (ltype == LightType.RECT) & (rcos_eff > 0.0)
-    rect_pdf = safe_div_pos(rdist * rdist, rect_area * jnp.maximum(rcos_eff, 1e-9))
+    rect_pdf = jnp.where(
+        sr_ok,
+        sr_pdf,
+        safe_div_pos(rdist * rdist, rect_area * jnp.maximum(rcos_eff, 1e-9)),
+    )
     rect_side = jnp.where((rcos > 0.0)[:, None], rect_fwd, -rect_fwd)
     out_L = jnp.where(rect_ok[:, None], rect_L, out_L)
     out_lp = jnp.where(rect_ok[:, None], offset_ray(rp, rect_side), out_lp)
@@ -362,18 +540,40 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
     tfwd_len = jnp.sqrt(jnp.maximum(dot(tfwd, tfwd, False), 1e-30))
     tri_fwd = tfwd / tfwd_len[:, None]
     tri_area = 0.5 * tfwd_len
+    # spherical-triangle (Arvo) solid-angle sampling with uniform-area
+    # fallback (CoreRef.cpp:3530-3556)
+    st_pdf, st_L, st_ok = sample_spherical_triangle(P, tp0, tp1, tp2, r1, r2)
+    te1 = tp1 - tp0
+    te2 = tp2 - tp0
+    st_pvec = cross(st_L, te2)
+    st_tvec = P - tp0
+    st_qvec = cross(st_tvec, te1)
+    st_det = dot(te1, st_pvec, False)
+    st_inv = _safe_div_signed(1.0, st_det, 1e-12)
+    st_u = dot(st_tvec, st_pvec, False) * st_inv
+    st_v = dot(st_L, st_qvec, False) * st_inv
+    st_lp = (
+        (1.0 - st_u - st_v)[:, None] * tp0
+        + st_u[:, None] * tp1
+        + st_v[:, None] * tp2
+    )
     sr1 = jnp.sqrt(jnp.maximum(r1, 0.0))
-    tlp = (
+    tlp_area = (
         tp0 * (1.0 - sr1)[:, None]
         + sr1[:, None] * (tp1 * (1.0 - r2)[:, None] + tp2 * r2[:, None])
     )
+    tlp = jnp.where(st_ok[:, None], st_lp, tlp_area)
     tvec = tlp - P
     tdist = jnp.sqrt(jnp.maximum(dot(tvec, tvec, False), 1e-30))
-    tL = tvec / tdist[:, None]
+    tL = jnp.where(st_ok[:, None], st_L, tvec / tdist[:, None])
     tcos = -dot(tL, tri_fwd, False)
     tcos_eff = jnp.where(doublesided, jnp.abs(tcos), tcos)
     tri_ok = (ltype == LightType.TRI) & (tcos_eff > 0.0)
-    tri_pdf = safe_div_pos(tdist * tdist, tri_area * jnp.maximum(tcos_eff, 1e-9))
+    tri_pdf = jnp.where(
+        st_ok,
+        st_pdf,
+        safe_div_pos(tdist * tdist, tri_area * jnp.maximum(tcos_eff, 1e-9)),
+    )
     tri_side = jnp.where((tcos >= 0.0)[:, None], tri_fwd, -tri_fwd)
     out_L = jnp.where(tri_ok[:, None], tL, out_L)
     out_lp = jnp.where(tri_ok[:, None], offset_ray(tlp, tri_side), out_lp)
@@ -607,6 +807,16 @@ def intersect_area_lights(scene, ro, rd, t_max):
             ok = facing & (t_hit > 0.0) & (t_hit < t_max) & inside
             cos_theta = jnp.abs(denom)
             pdf = safe_div_pos(t_hit * t_hit, area * jnp.maximum(cos_theta, 1e-9))
+            if ltype == LightType.RECT:
+                # spherical-rect pdf where the sampler would have used it
+                # (reference ShadeRef.cpp:1128-1141)
+                zero = jnp.zeros((R,), jnp.float32)
+                sr_pdf, _, sr_ok = sample_spherical_rectangle(
+                    ro, jnp.broadcast_to(col_pos, (R, 3)),
+                    jnp.broadcast_to(u_ax, (R, 3)),
+                    jnp.broadcast_to(v_ax, (R, 3)), zero, zero,
+                )
+                pdf = jnp.where(sr_ok, sr_pdf, pdf)
             spot = jnp.ones((R,), jnp.float32)
         elif ltype == LightType.LINE:
             # finite cylinder of radius r around axis v through pos
@@ -646,13 +856,16 @@ def intersect_area_lights(scene, ro, rd, t_max):
     return best_t, best_i, best_pdf, best_spot
 
 
-def tri_light_hit_pdf(scene, prim, t, I, pick_pdf_of_light, light_id=None):
+def tri_light_hit_pdf(scene, prim, t, I, pick_pdf_of_light, light_id=None,
+                      ro=None):
     """Solid-angle pdf of having NEE-sampled the emissive triangle that a
-    BSDF ray just hit — for the MIS weight at emissive hits
-    (reference ShadeRef.cpp:1502-1537, uniform-area branch).
+    BSDF ray just hit — for the MIS weight at emissive hits (reference
+    ShadeRef.cpp:1502-1537): spherical-triangle solid angle from the ray
+    origin when it is above threshold, uniform-area form otherwise.
 
     ``light_id``: required under TLAS instancing, where the world triangle
     lives in the light table rather than the (object-space) scene arrays.
+    ``ro``: ray origins — enables the spherical-pdf branch.
     """
     if getattr(scene, "mode", "flatten") == "tlas":
         lid = jnp.maximum(light_id, 0)
@@ -670,4 +883,8 @@ def tri_light_hit_pdf(scene, prim, t, I, pick_pdf_of_light, light_id=None):
     area = 0.5 * fwd_len
     cos_theta = jnp.abs(dot(I, tri_fwd, False))
     pdf = safe_div_pos(t * t, area * jnp.maximum(cos_theta, 1e-9))
+    if ro is not None:
+        zero = jnp.zeros(t.shape, jnp.float32)
+        st_pdf, _, st_ok = sample_spherical_triangle(ro, p0, p1, p2, zero, zero)
+        pdf = jnp.where(st_ok, st_pdf, pdf)
     return pdf * pick_pdf_of_light

@@ -107,7 +107,7 @@ def generate_primary_rays(
 
     origin = cam.origin[None, :] + cam.side[None, :] * off_x[:, None] + cam.up[None, :] * off_y[:, None]
 
-    # pixel direction (CoreRef.cpp:1441-1448)
+    # pixel position on the focus plane (CoreRef.cpp:1441-1448)
     p_x = 2.0 * fov_k * (fx / jnp.float32(width) + cam.shift[0] / k) - fov_k
     p_y = 2.0 * fov_k * (-fy / jnp.float32(height) + cam.shift[1]) + fov_k
     p = (
@@ -116,7 +116,14 @@ def generate_primary_rays(
         + p_y[:, None] * cam.up[None, :]
         + cam.focus_distance * cam.fwd[None, :]
     )
-    d = normalize(p - origin)
+    if getattr(cam, "cam_type", 0) == 1:
+        # orthographic: parallel rays through the image plane placed at the
+        # camera origin (no DOF — the lens offset collapses to 0)
+        origin = p - cam.focus_distance * cam.fwd[None, :]
+        d = jnp.broadcast_to(cam.fwd[None, :], origin.shape)
+        spread_angle = jnp.float32(0.0)
+    else:
+        d = normalize(p - origin)
 
     d_dot_fwd = dot(d, cam.fwd[None, :], False)
     clip_start = cam.clip_start / jnp.maximum(d_dot_fwd, 1e-6)

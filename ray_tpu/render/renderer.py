@@ -133,6 +133,18 @@ class Renderer:
         }
         self.cache = None            # spatial radiance cache state
         self.cache_iteration = 0     # RegionContext.cache_iteration
+        # optional jax.Device pin, set by the api.create_renderer factory
+        # (settings_t.preferred_device analogue)
+        self.device = None
+
+    def _on_device(self):
+        """Context manager placing computation on the factory-chosen
+        device (no-op when unpinned)."""
+        import contextlib
+
+        if self.device is None:
+            return contextlib.nullcontext()
+        return jax.default_device(self.device)
 
     def get_stats(self) -> dict:
         """RendererBase::GetStats (RendererBase.h:244)."""
@@ -176,13 +188,14 @@ class Renderer:
         table = jnp.asarray(build_filter_table(cam_u.filter, cam_u.filter_width))
         import time
         self._t0 = time.perf_counter()
-        out = _render_sample_jit(
-            scene, cam_u, table,
-            jnp.uint32(self.cache_iteration), jnp.uint32(rand_seed),
-            jnp.ones((h4 * w4,), jnp.bool_),
-            width=w4, height=h4, settings=self.pass_settings,
-            use_filter_table=False, cache=self.cache, cache_mode="update",
-        )
+        with self._on_device():
+            out = _render_sample_jit(
+                scene, cam_u, table,
+                jnp.uint32(self.cache_iteration), jnp.uint32(rand_seed),
+                jnp.ones((h4 * w4,), jnp.bool_),
+                width=w4, height=h4, settings=self.pass_settings,
+                use_filter_table=False, cache=self.cache, cache_mode="update",
+            )
         self.cache = out["cache"]
         if self.settings.collect_stats:
             self._timed("time_cache_update_us", self.cache)
@@ -211,18 +224,20 @@ class Renderer:
         use_cache = self.settings.use_spatial_cache and self.cache is not None
         import time
         self._t0 = time.perf_counter()
-        out = _render_sample_jit(
-            scene, cam, table,
-            jnp.uint32(self.iteration), jnp.uint32(rand_seed), mask,
-            width=self.settings.width, height=self.settings.height,
-            settings=self.pass_settings,
-            use_filter_table=cam.filter != PixelFilter.BOX,
-            cache=self.cache if use_cache else None,
-            cache_mode="query" if use_cache else "off",
-        )
-        self.full_buf, self.half_buf, self.sample_counts = _accumulate(
-            self.full_buf, self.half_buf, self.sample_counts, out["color"], mask
-        )
+        with self._on_device():
+            out = _render_sample_jit(
+                scene, cam, table,
+                jnp.uint32(self.iteration), jnp.uint32(rand_seed), mask,
+                width=self.settings.width, height=self.settings.height,
+                settings=self.pass_settings,
+                use_filter_table=cam.filter != PixelFilter.BOX,
+                cache=self.cache if use_cache else None,
+                cache_mode="query" if use_cache else "off",
+            )
+            self.full_buf, self.half_buf, self.sample_counts = _accumulate(
+                self.full_buf, self.half_buf, self.sample_counts,
+                out["color"], mask,
+            )
         self.stats["samples"] += 1
         if self.settings.collect_stats:
             self._timed("time_render_us", self.full_buf)

@@ -49,6 +49,23 @@ class AtmosphereParams:
     mie_extinction: Any = (4.44e-6, 4.44e-6, 4.44e-6)
     ozone_absorption: Any = (0.65e-6, 1.881e-6, 0.085e-6)
     ground_albedo: Any = (0.05, 0.05, 0.05)
+    # celestial bodies & cloud layers (SceneBase.h:320-336).  The reference
+    # feeds these from precomputed noise/weather/moon textures
+    # (internal/precomputed/__weather_tex.inl etc.); here the noise fields
+    # are procedural (hash-lattice fbm) — no blobs, fully differentiable
+    # w.r.t. the float parameters.
+    clouds_height_beg: Any = 2000.0
+    clouds_height_end: Any = 2500.0
+    clouds_variety: Any = 0.5
+    clouds_density: Any = 0.5
+    clouds_offset_x: Any = 0.0
+    clouds_offset_z: Any = 0.0
+    cirrus_clouds_amount: Any = 0.5
+    cirrus_clouds_height: Any = 6000.0
+    stars_brightness: Any = 1.0
+    moon_radius: Any = 1737400.0
+    moon_distance: Any = 100000000.0
+    moon_dir: Any = (0.707, 0.707, 0.0)
 
     def jnp_params(self):
         return jax.tree_util.tree_map(
@@ -354,10 +371,301 @@ def sky_radiance(p: AtmosphereParams, trans_lut, ms_lut, view_dir, sun_dir,
     return L
 
 
+# ---------------------------------------------------------------------------
+# Celestial bodies & clouds (reference: AtmosphereRef.cpp clouds/moon/stars
+# sections; parameters SceneBase.h:320-336).  Noise is procedural hash-
+# lattice fbm instead of the reference's precomputed 3-D noise textures.
+# ---------------------------------------------------------------------------
+
+_U32 = jnp.uint32
+
+
+def _hash_u32(x):
+    x = x.astype(_U32)
+    x = x ^ (x >> 16)
+    x = x * _U32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * _U32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _lattice(ix, iy, iz, seed):
+    """Hash lattice point → float in [0, 1)."""
+    h = _hash_u32(
+        ix.astype(_U32) * _U32(0x9E3779B1)
+        ^ iy.astype(_U32) * _U32(0x85EBCA77)
+        ^ iz.astype(_U32) * _U32(0xC2B2AE3D)
+        ^ _U32(seed)
+    )
+    return (h >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def _smooth(t):
+    return t * t * (3.0 - 2.0 * t)
+
+
+def value_noise3(pos, seed=0):
+    """Trilinear value noise on an integer lattice, pos (..., 3) → [0, 1)."""
+    pf = jnp.floor(pos)
+    ix = pf[..., 0].astype(jnp.int32)
+    iy = pf[..., 1].astype(jnp.int32)
+    iz = pf[..., 2].astype(jnp.int32)
+    f = _smooth(pos - pf)
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+
+    def lerp(a, b, t):
+        return a + (b - a) * t
+
+    n000 = _lattice(ix, iy, iz, seed)
+    n100 = _lattice(ix + 1, iy, iz, seed)
+    n010 = _lattice(ix, iy + 1, iz, seed)
+    n110 = _lattice(ix + 1, iy + 1, iz, seed)
+    n001 = _lattice(ix, iy, iz + 1, seed)
+    n101 = _lattice(ix + 1, iy, iz + 1, seed)
+    n011 = _lattice(ix, iy + 1, iz + 1, seed)
+    n111 = _lattice(ix + 1, iy + 1, iz + 1, seed)
+    return lerp(
+        lerp(lerp(n000, n100, fx), lerp(n010, n110, fx), fy),
+        lerp(lerp(n001, n101, fx), lerp(n011, n111, fx), fy),
+        fz,
+    )
+
+
+def fbm3(pos, octaves=4, seed=0, gain=0.5, lacunarity=2.0):
+    total = jnp.zeros(pos.shape[:-1], jnp.float32)
+    amp = 1.0
+    norm = 0.0
+    p = pos
+    for o in range(octaves):
+        total = total + amp * value_noise3(p, seed + o * 131)
+        norm += amp
+        amp *= gain
+        p = p * lacunarity
+    return total / norm
+
+
+def moon_radiance(p: AtmosphereParams, view_dir, sun_dir):
+    """Lambert-shaded moon disk with procedural crater albedo (the
+    reference samples __moon_tex.inl, AtmosphereRef.cpp moon branch).
+    Returns (..., 3) radiance and the disk mask."""
+    moon_dir = jnp.asarray(p.moon_dir, jnp.float32)[:3]
+    moon_dir = moon_dir / jnp.maximum(jnp.linalg.norm(moon_dir), 1e-9)
+    cos_m = jnp.clip(jnp.sum(view_dir * moon_dir, axis=-1), -1.0, 1.0)
+    ang_r = jnp.arctan2(p.moon_radius, p.moon_distance)
+    cos_r = jnp.cos(ang_r)
+    in_disk = cos_m > cos_r
+    # local frame around moon_dir
+    a = jnp.where(jnp.abs(moon_dir[1]) < 0.99,
+                  jnp.array([0.0, 1.0, 0.0], jnp.float32),
+                  jnp.array([1.0, 0.0, 0.0], jnp.float32))
+    t1 = jnp.cross(moon_dir, a)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-9)
+    t2 = jnp.cross(moon_dir, t1)
+    du = jnp.sum(view_dir * t1, axis=-1)
+    dv = jnp.sum(view_dir * t2, axis=-1)
+    sin_r = jnp.maximum(jnp.sin(ang_r), 1e-9)
+    # normalized disk coordinates in [-1, 1]
+    x = du / sin_r
+    y = dv / sin_r
+    z2 = jnp.maximum(1.0 - x * x - y * y, 0.0)
+    z = jnp.sqrt(z2)
+    # moon surface normal in world space (sphere facing the viewer)
+    n = (
+        x[..., None] * t1
+        + y[..., None] * t2
+        - z[..., None] * moon_dir
+    )
+    phase = jnp.maximum(jnp.sum(n * sun_dir, axis=-1), 0.0)
+    crater = 0.6 + 0.4 * fbm3(
+        jnp.stack([x, y, z], axis=-1) * 6.0, octaves=4, seed=17
+    )
+    albedo = 0.12 * crater
+    rad = (albedo * phase)[..., None] * jnp.ones((3,), jnp.float32)
+    return jnp.where(in_disk[..., None], rad, 0.0), in_disk
+
+
+def stars_radiance(p: AtmosphereParams, view_dir):
+    """Procedural star field: one candidate star per lat-long grid cell
+    (hash position/intensity), brightness from ``stars_brightness``
+    (SceneBase.h:333; the reference generates stars in its sky shader)."""
+    N_U, N_V = 512, 256
+    theta = jnp.arccos(jnp.clip(view_dir[..., 1], -1.0, 1.0))
+    phi = jnp.arctan2(view_dir[..., 2], view_dir[..., 0])
+    u = (phi / (2.0 * _PI) + 0.5) * N_U
+    v = (theta / _PI) * N_V
+    iu = jnp.floor(u).astype(jnp.int32)
+    iv = jnp.floor(v).astype(jnp.int32)
+    zero = jnp.zeros_like(iu)
+    sx = _lattice(iu, iv, zero, 101)
+    sy = _lattice(iu, iv, zero, 211)
+    mag = _lattice(iu, iv, zero, 307)
+    # star subposition within the cell; tight gaussian falloff
+    d2 = (u - iu.astype(jnp.float32) - sx) ** 2 + (
+        v - iv.astype(jnp.float32) - sy
+    ) ** 2
+    core = jnp.exp(-d2 * 60.0)
+    # few cells hold a visible star; power-law magnitudes
+    lit = mag > 0.92
+    intensity = jnp.where(lit, (mag - 0.92) / 0.08, 0.0) ** 4
+    rad = (p.stars_brightness * 0.05 * intensity * core)[..., None]
+    return rad * jnp.ones((3,), jnp.float32)
+
+
+def cirrus_coverage(p: AtmosphereParams, view_dir, r):
+    """Coverage of the thin high-altitude cirrus layer along the view ray
+    (cirrus_clouds_amount/height, SceneBase.h:328-329)."""
+    mu = view_dir[..., 1]
+    r_top = p.planet_radius + p.cirrus_clouds_height
+    t = _ray_sphere_far(r, mu, r_top)
+    hits = jnp.isfinite(t) & (mu > 0.02)
+    pos = view_dir * jnp.where(hits, t, 0.0)[..., None]
+    uv = jnp.stack(
+        [pos[..., 0] + p.clouds_offset_x, jnp.zeros_like(mu),
+         pos[..., 2] + p.clouds_offset_z], axis=-1
+    ) * (1.0 / 8000.0)
+    n = fbm3(uv, octaves=5, seed=53)
+    cov = jnp.clip((n - (1.0 - p.cirrus_clouds_amount * 0.7)) * 3.0, 0.0, 1.0)
+    # fade toward the horizon
+    cov = cov * jnp.clip((mu - 0.02) * 8.0, 0.0, 1.0)
+    return jnp.where(hits, cov * 0.4, 0.0)
+
+
+def _hg_phase(c, g):
+    g2 = g * g
+    return (1.0 - g2) / (4.0 * _PI * jnp.power(1.0 + g2 - 2.0 * g * c, 1.5))
+
+
+def clouds_march(p: AtmosphereParams, trans_lut, view_dir, sun_dir, sun_color,
+                 steps: int = 16, light_steps: int = 3):
+    """Volumetric cumulus layer between clouds_height_beg/end
+    (SceneBase.h:320-327): fbm density, Beer extinction, short sun-ward
+    light march, HG phase.  Returns (in-scattered radiance, transmittance).
+    """
+    mu = view_dir[..., 1]
+    r0 = p.planet_radius + p.viewpoint_height
+    r = jnp.broadcast_to(jnp.asarray(r0, jnp.float32), mu.shape)
+    t_beg = _ray_sphere_far(r, mu, p.planet_radius + p.clouds_height_beg)
+    t_end = _ray_sphere_far(r, mu, p.planet_radius + p.clouds_height_end)
+    valid = jnp.isfinite(t_beg) & jnp.isfinite(t_end) & (mu > 0.02)
+    t_beg = jnp.where(valid, t_beg, 0.0)
+    t_end = jnp.where(valid, jnp.minimum(t_end, t_beg + 30000.0), 0.0)
+    seg = (t_end - t_beg) / steps
+
+    thick = jnp.maximum(p.clouds_height_end - p.clouds_height_beg, 1.0)
+    freq = 1.0 / 1600.0
+    offset = jnp.stack(
+        [jnp.asarray(p.clouds_offset_x, jnp.float32),
+         jnp.zeros(()), jnp.asarray(p.clouds_offset_z, jnp.float32)],
+    )
+
+    def density(pos):
+        # height above ground, flat-shell approximation
+        h01 = jnp.clip(
+            (p.viewpoint_height + pos[..., 1] - p.clouds_height_beg) / thick,
+            0.0, 1.0,
+        )
+        base = fbm3((pos + offset) * freq, octaves=4, seed=7)
+        detail = fbm3((pos + offset) * (freq * 3.7), octaves=3, seed=91)
+        cover = p.clouds_density * 0.8
+        d = jnp.clip(
+            (base - (1.0 - cover) - p.clouds_variety * 0.25 * detail) * 4.0,
+            0.0, 1.0,
+        )
+        # round tops/bottoms
+        return d * _smooth(jnp.clip(h01 * 4.0, 0.0, 1.0)) * _smooth(
+            jnp.clip((1.0 - h01) * 2.5, 0.0, 1.0)
+        )
+
+    sigma_t = 0.006  # extinction per meter at density 1
+    cos_sun = jnp.clip(jnp.sum(view_dir * sun_dir, axis=-1), -1.0, 1.0)
+    phase = 0.7 * _hg_phase(cos_sun, 0.55) + 0.3 * _hg_phase(cos_sun, -0.15)
+    sun_T_top = lookup_transmittance(
+        p, trans_lut, r, jnp.full(mu.shape, jnp.clip(sun_dir[1], -1.0, 1.0))
+    )
+
+    def body(i, carry):
+        L, T = carry
+        t = t_beg + (i + 0.5) * seg
+        pos = view_dir * t[..., None]
+        d = jnp.where(valid, density(pos), 0.0)
+        ext = jnp.exp(-d * sigma_t * seg)
+        # short light march toward the sun
+        lt = jnp.ones(mu.shape, jnp.float32)
+        for j in range(light_steps):
+            lpos = pos + sun_dir * ((j + 0.5) * thick / light_steps)
+            lt = lt * jnp.exp(
+                -density(lpos) * sigma_t * (thick / light_steps)
+            )
+        amb = 0.1 + 0.2 * jnp.clip(sun_dir[1], 0.0, 1.0)
+        S = (phase * lt)[..., None] * sun_T_top * sun_color + amb
+        L = L + T[..., None] * (1.0 - ext)[..., None] * S
+        return L, T * ext
+
+    L0 = jnp.zeros(view_dir.shape[:-1] + (3,), jnp.float32)
+    T0 = jnp.ones(mu.shape, jnp.float32)
+    L, T = jax.lax.fori_loop(0, steps, body, (L0, T0))
+    return L, jnp.where(valid, T, 1.0)
+
+
+def sky_radiance_full(p: AtmosphereParams, trans_lut, ms_lut, view_dir,
+                      sun_dir, sun_color, steps: int = 24,
+                      include_sun_disk: bool = True, moon: bool = True,
+                      stars: bool = True, cirrus: bool = True,
+                      clouds: bool = True, cloud_steps: int = 16):
+    """Full sky: atmosphere + sun disk + moon + stars + cirrus + volumetric
+    clouds, composited far-to-near.  The deluxe counterpart of the
+    reference's detailed-sky shading path (AtmosphereRef.cpp
+    IntegrateScattering with clouds/moon/stars enabled)."""
+    r0 = p.planet_radius + p.viewpoint_height
+    mu_v = view_dir[..., 1]
+    r = jnp.broadcast_to(jnp.asarray(r0, jnp.float32), mu_v.shape)
+    hits_ground = jnp.isfinite(_ray_sphere_near(r, mu_v, p.planet_radius))
+    T_view = lookup_transmittance(p, trans_lut, r, jnp.clip(mu_v, -1.0, 1.0))
+
+    # far field behind the atmosphere
+    far = jnp.zeros(view_dir.shape[:-1] + (3,), jnp.float32)
+    if include_sun_disk:
+        sun_ar = 0.00465
+        cos_sun = jnp.clip(jnp.sum(view_dir * sun_dir, axis=-1), -1.0, 1.0)
+        in_disk = cos_sun > np.cos(sun_ar)
+        far = far + jnp.where(
+            in_disk[..., None], sun_color / (_PI * sun_ar**2), 0.0
+        )
+    if moon:
+        m_rad, _ = moon_radiance(p, view_dir, sun_dir)
+        far = far + m_rad
+    if stars:
+        far = far + stars_radiance(p, view_dir)
+
+    if cirrus:
+        cov = cirrus_coverage(p, view_dir, r)
+        sun_T = lookup_transmittance(
+            p, trans_lut, r,
+            jnp.broadcast_to(jnp.clip(sun_dir[1], -1.0, 1.0), mu_v.shape),
+        )
+        cirrus_col = sun_T * sun_color * (0.25 / _PI) + 0.05
+        far = far * (1.0 - cov[..., None]) + cov[..., None] * cirrus_col
+
+    # atmosphere in-scattering
+    L_in = sky_radiance(p, trans_lut, ms_lut, view_dir, sun_dir, sun_color,
+                        steps=steps, include_sun_disk=False)
+    L = L_in + jnp.where(hits_ground[..., None], 0.0, T_view * far)
+
+    if clouds:
+        Lc, Tc = clouds_march(p, trans_lut, view_dir, sun_dir, sun_color,
+                              steps=cloud_steps)
+        L = Lc + Tc[..., None] * L
+    return L
+
+
 def bake_sky_env(p: AtmosphereParams, sun_dir, sun_color, width=256, height=128,
-                 steps: int = 24, include_sun_disk: bool = True):
+                 steps: int = 24, include_sun_disk: bool = True,
+                 full: bool = False, **features):
     """Bake the sky to a latlong env image (H, W, 3) — the analogue of
-    ``CalcSkyEnvTexture`` (SceneCommon.h:25)."""
+    ``CalcSkyEnvTexture`` (SceneCommon.h:25).  ``full=True`` adds moon,
+    stars, cirrus and volumetric clouds (kwargs forwarded to
+    :func:`sky_radiance_full`)."""
     p = p.jnp_params()
     sun_dir = jnp.asarray(sun_dir, jnp.float32)
     sun_dir = sun_dir / jnp.linalg.norm(sun_dir)
@@ -374,5 +682,10 @@ def bake_sky_env(p: AtmosphereParams, sun_dir, sun_color, width=256, height=128,
         [jnp.sin(theta) * jnp.cos(phi), jnp.cos(theta), jnp.sin(theta) * jnp.sin(phi)],
         axis=-1,
     )
+    if full:
+        return sky_radiance_full(
+            p, trans_lut, ms_lut, d, sun_dir, sun_color, steps=steps,
+            include_sun_disk=include_sun_disk, **features,
+        )
     return sky_radiance(p, trans_lut, ms_lut, d, sun_dir, sun_color, steps=steps,
                         include_sun_disk=include_sun_disk)

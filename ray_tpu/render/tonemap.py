@@ -16,9 +16,23 @@ from ray_tpu.ops.linalg import linear_to_srgb
 
 
 class ViewTransform:
+    """Full eViewTransform set (reference Types.h:70-83).  The reference
+    bakes each curve to a 48³ OCIO LUT (internal/TonemapRef.cpp, LUTs from
+    scripts/gen_tonemap_luts.py); here AgX is the published analytic AgX
+    pipeline and the Filmic contrast family is the filmic-blender log
+    encoding + a per-look contrast S-curve — analytic equivalents, cheaper
+    on TPU (pure VPU math, no 3-D gather) and exactly differentiable."""
+
     STANDARD = 0
     AGX = 1
-    FILMIC_MED_CONTRAST = 2
+    AGX_PUNCHY = 2
+    FILMIC_VERY_LOW_CONTRAST = 3
+    FILMIC_LOW_CONTRAST = 4
+    FILMIC_MED_LOW_CONTRAST = 5
+    FILMIC_MED_CONTRAST = 6
+    FILMIC_MED_HIGH_CONTRAST = 7
+    FILMIC_HIGH_CONTRAST = 8
+    FILMIC_VERY_HIGH_CONTRAST = 9
 
 
 def reversible_tonemap(c):
@@ -78,21 +92,73 @@ def tonemap_agx(c):
     return jnp.clip(v, 0.0, 1.0)
 
 
-def tonemap_filmic(c):
-    """Uncharted-2-style filmic curve (Hable), a close analytic stand-in for
-    the reference's Filmic/Med-Contrast LUT."""
-    A, B, C, D, E, F = 0.15, 0.50, 0.10, 0.20, 0.02, 0.30
-    def curve(x):
-        return ((x * (A * x + C * B) + D * E) / (x * (A * x + B) + D * F)) - E / F
-    w = 11.2
-    out = curve(jnp.maximum(c, 0.0) * 2.0) / curve(jnp.float32(w))
-    return linear_to_srgb(jnp.clip(out, 0.0, 1.0))
+def tonemap_agx_punchy(c):
+    """AgX + the 'punchy' look: ASC-CDL power 1.35 and saturation 1.4
+    applied in the AgX output space (Blender's AgX Punchy look)."""
+    v = tonemap_agx(c)
+    v = jnp.power(jnp.maximum(v, 0.0), 1.35)
+    luma = jnp.sum(
+        v * jnp.array([0.2126, 0.7152, 0.0722], v.dtype), axis=-1,
+        keepdims=True,
+    )
+    return jnp.clip(luma + 1.4 * (v - luma), 0.0, 1.0)
+
+
+# filmic-blender dynamic range: 16.5 stops, middle grey 0.18 at log 0.7558
+_FILMIC_LOG_MIN = -12.473931188
+_FILMIC_LOG_MAX = 4.026068812
+
+
+def _filmic_log_encode(c):
+    """Troy Sobotka's filmic-blender 'Log' base encoding: log2 of scene
+    exposure normalized over the 16.5-stop window, with a slight desaturate
+    toward the top to mimic film's highlight bleach."""
+    x = jnp.maximum(c, 1e-10)
+    lg = (jnp.log2(x / 0.18) - _FILMIC_LOG_MIN) / (
+        _FILMIC_LOG_MAX - _FILMIC_LOG_MIN
+    )
+    lg = jnp.clip(lg, 0.0, 1.0)
+    # highlight desaturation: blend toward the max channel above knee
+    m = jnp.max(lg, axis=-1, keepdims=True)
+    t = jnp.clip((m - 0.8) / 0.2, 0.0, 1.0) ** 2
+    return lg + t * (m - lg) * 0.6
+
+
+# per-look contrast strengths for the 7 Filmic looks (Very Low → Very High),
+# applied as an S-curve around the filmic-log middle grey pivot
+_FILMIC_CONTRAST = {
+    3: 0.6, 4: 0.75, 5: 0.9, 6: 1.0, 7: 1.2, 8: 1.45, 9: 1.8,
+}
+
+
+def _contrast_s_curve(x, strength):
+    """Smooth S-curve around the middle-grey pivot: identity at
+    strength = 1, flatter below, steeper above."""
+    pivot = 0.7558  # filmic-log value of 0.18 middle grey
+    lo = x / pivot
+    hi = (x - pivot) / (1.0 - pivot)
+    below = pivot * jnp.power(jnp.maximum(lo, 1e-8), strength)
+    above = pivot + (1.0 - pivot) * (
+        1.0 - jnp.power(jnp.maximum(1.0 - hi, 1e-8), strength)
+    )
+    return jnp.where(x < pivot, below, above)
+
+
+def tonemap_filmic(c, contrast: float = 1.0):
+    """Filmic view transform: filmic-log encode + per-look contrast curve,
+    output sRGB-encoded (analytic stand-in for the reference's 7 baked
+    Filmic_*Contrast LUTs, internal/precomputed/__filmic_*.inl)."""
+    lg = _filmic_log_encode(c)
+    out = _contrast_s_curve(jnp.clip(lg, 0.0, 1.0), contrast)
+    return jnp.clip(out, 0.0, 1.0)
 
 
 def apply_view_transform(c, view_transform: int, exposure=0.0):
     c = c * jnp.exp2(exposure)
     if view_transform == ViewTransform.AGX:
         return tonemap_agx(c)
-    if view_transform == ViewTransform.FILMIC_MED_CONTRAST:
-        return tonemap_filmic(c)
+    if view_transform == ViewTransform.AGX_PUNCHY:
+        return tonemap_agx_punchy(c)
+    if view_transform in _FILMIC_CONTRAST:
+        return tonemap_filmic(c, _FILMIC_CONTRAST[view_transform])
     return linear_to_srgb(jnp.clip(c, 0.0, 1.0))

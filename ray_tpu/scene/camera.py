@@ -19,6 +19,14 @@ import jax
 import numpy as np
 
 
+class CamType:
+    """eCamType (Types.h:62).  GEO has no camera object — see
+    render/lightmap.py."""
+
+    PERSP = 0
+    ORTHO = 1
+
+
 class PixelFilter:
     BOX = 0
     GAUSSIAN = 1
@@ -49,6 +57,14 @@ class Camera:
     lens_blades: int = dataclasses.field(metadata=dict(static=True))
     filter: int = dataclasses.field(metadata=dict(static=True))
     filter_width: float = dataclasses.field(metadata=dict(static=True))
+    # eCamType (reference Types.h:62): 0 = Persp, 1 = Ortho.  The
+    # reference declares Ortho but leaves it unimplemented
+    # (Core.cpp:1363-1364 "TODO!"); here it is real: parallel rays through
+    # an image plane whose half-height is tan(fov/2)·focus_distance, so an
+    # ortho camera frames exactly what the persp camera sees at the focus
+    # plane.  Geo (lightmap baking) is a separate ray source —
+    # render/lightmap.py.
+    cam_type: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 def make_camera(
@@ -69,6 +85,7 @@ def make_camera(
     clip_end: float = 3.402823466e30,
     filter: int = PixelFilter.BOX,
     filter_width: float = 1.5,
+    cam_type: int = 0,
 ) -> Camera:
     """Build a perspective camera.
 
@@ -119,6 +136,7 @@ def make_camera(
         lens_blades=int(lens_blades),
         filter=int(filter),
         filter_width=float(filter_width),
+        cam_type=int(cam_type),
     )
 
 

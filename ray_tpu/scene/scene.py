@@ -218,6 +218,8 @@ class Scene:
         env_res=(256, 128),
         add_sun_light: bool = True,
         sun_angle: float = 0.53,
+        full_sky: bool = False,
+        **sky_features,
     ):
         """Bake the procedural atmosphere to the environment map and add the
         sun as a directional light with transmittance-attenuated color — the
@@ -242,6 +244,7 @@ class Scene:
             sky_mod.bake_sky_env(
                 params, sd, sun_color, width=w, height=h,
                 include_sun_disk=not add_sun_light,
+                full=full_sky, **sky_features,
             )
         )
         tex = self.add_texture(img[..., :3], generate_mips=False)
