@@ -23,6 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ray_tpu.ops.gather import one_hot_f32, read_packed, read_rows
 from ray_tpu.ops.linalg import (
     MAX_DIST,
     cross,
@@ -351,21 +352,18 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
         cdf_lo = jnp.where(idx > 0, lights["pick_cdf"][jnp.maximum(idx - 1, 0)], 0.0)
         u1 = saturate(safe_div_pos(rand_pick - cdf_lo, pick_pdf))
 
-    ltype = lights["type"][idx]
-    lcol = lights["col"][idx]
-    lpos = lights["pos"][idx]
-    ldir = lights["dir"][idx]
-    lu = lights["u"][idx]
-    lv = lights["v"][idx]
-    radius = lights["radius"][idx]
-    width = lights["width"][idx]
-    height = lights["height"][idx]
-    angle = lights["angle"][idx]
-    visible = lights["visible"][idx]
-    doublesided = lights["doublesided"][idx]
-    cast_shadow = lights["cast_shadow"][idx]
-    spot_cos = lights["spot_cos"][idx]
-    spot_blend = lights["spot_blend"][idx]
+    # single one-hot-matmul read of the whole light row (ops/gather.py) —
+    # replaces 15 serializing row gathers
+    oh = one_hot_f32(idx, nl) if nl <= 128 else None
+    (ltype, lcol, lpos, ldir, lu, lv, radius, width, height, angle,
+     visible, doublesided, cast_shadow, spot_cos, spot_blend) = read_packed(
+        [lights["type"], lights["col"], lights["pos"], lights["dir"],
+         lights["u"], lights["v"], lights["radius"], lights["width"],
+         lights["height"], lights["angle"], lights["visible"],
+         lights["doublesided"], lights["cast_shadow"], lights["spot_cos"],
+         lights["spot_blend"]],
+        idx, oh=oh,
+    )
 
     r1 = rand_uv[..., 0]
     r2 = rand_uv[..., 1]
@@ -527,15 +525,13 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
     if getattr(scene, "mode", "flatten") == "tlas":
         # scene.vertices are object-space under instancing; the light table
         # carries the world-space triangle
-        tp0 = lights["tp0"][idx]
-        tp1 = lights["tp1"][idx]
-        tp2 = lights["tp2"][idx]
+        tp0, tp1, tp2 = read_packed(
+            [lights["tp0"], lights["tp1"], lights["tp2"]], idx, oh=oh
+        )
     else:
-        tri = jnp.maximum(lights["tri_index"][idx], 0)
-        tvidx = scene.tri_vidx[tri]
-        tp0 = scene.vertices[tvidx[:, 0]]
-        tp1 = scene.vertices[tvidx[:, 1]]
-        tp2 = scene.vertices[tvidx[:, 2]]
+        tri = jnp.maximum(read_rows(lights["tri_index"], idx, oh=oh), 0)
+        trow = scene.tri_surf[tri]
+        tp0, tp1, tp2 = trow[:, 0:3], trow[:, 3:6], trow[:, 6:9]
     tfwd = cross(tp1 - tp0, tp2 - tp0)
     tfwd_len = jnp.sqrt(jnp.maximum(dot(tfwd, tfwd, False), 1e-30))
     tri_fwd = tfwd / tfwd_len[:, None]
@@ -622,6 +618,8 @@ def env_color(scene, L):
     """Environment radiance along L: constant color × optional latlong map
     (reference Evaluate_EnvColor, ShadeRef.cpp:1038-1076)."""
     col = jnp.broadcast_to(scene.env_col, L.shape)
+    if scene.env_tab_h <= 0:  # static: no env map in this scene
+        return col
     has_map = scene.env_map >= 0
 
     # latlong lookup
@@ -869,14 +867,15 @@ def tri_light_hit_pdf(scene, prim, t, I, pick_pdf_of_light, light_id=None,
     """
     if getattr(scene, "mode", "flatten") == "tlas":
         lid = jnp.maximum(light_id, 0)
-        p0 = scene.lights["tp0"][lid]
-        p1 = scene.lights["tp1"][lid]
-        p2 = scene.lights["tp2"][lid]
+        loh = (one_hot_f32(lid, scene.lights["tp0"].shape[0])
+               if scene.lights["tp0"].shape[0] <= 128 else None)
+        p0, p1, p2 = read_packed(
+            [scene.lights["tp0"], scene.lights["tp1"], scene.lights["tp2"]],
+            lid, oh=loh,
+        )
     else:
-        tvidx = scene.tri_vidx[jnp.maximum(prim, 0)]
-        p0 = scene.vertices[tvidx[:, 0]]
-        p1 = scene.vertices[tvidx[:, 1]]
-        p2 = scene.vertices[tvidx[:, 2]]
+        trow = scene.tri_surf[jnp.maximum(prim, 0)]
+        p0, p1, p2 = trow[:, 0:3], trow[:, 3:6], trow[:, 6:9]
     fwd = cross(p1 - p0, p2 - p0)
     fwd_len = jnp.sqrt(jnp.maximum(dot(fwd, fwd, False), 1e-30))
     tri_fwd = fwd / fwd_len[:, None]

@@ -14,6 +14,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from ray_tpu.ops.gather import read_packed
 from ray_tpu.ops.linalg import (
     cross,
     dot,
@@ -66,37 +67,43 @@ def _inst_xform_normal(inst, ii, n):
     ], axis=-1)
 
 
-def hit_light_id(scene, prim, inst=None):
+def hit_light_id(scene, prim, inst=None, row=None):
     """Light id of an emissive hit triangle (-1 if not a light).  Under TLAS
     instancing the id is per-(instance, triangle): the instance's light base
-    plus the triangle's per-mesh emissive ordinal."""
-    safe_prim = jnp.maximum(prim, 0)
+    plus the triangle's per-mesh emissive ordinal (tri_surf col 28 holds
+    the local ordinal in tlas mode, the global id in flatten mode)."""
+    if row is None:
+        row = fetch_tri_row(scene, prim)
+    ids = row[:, 28].astype(jnp.int32)
     if scene.mode == "tlas":
-        loc = scene.tri_light_local[safe_prim]
         base = scene.inst["light_base"][jnp.maximum(inst, 0)]
-        return jnp.where((loc >= 0) & (inst >= 0), base + loc, -1)
-    return scene.tri_light[safe_prim]
+        return jnp.where((ids >= 0) & (inst >= 0), base + ids, -1)
+    return ids
 
 
-def compute_surface(scene, prim, u, v, backface, ro, rd, t, inst=None):
+def fetch_tri_row(scene, prim):
+    """One (29,) packed surface row per hit (scene._pack_tri_surf): the
+    single gather that replaces the ~14 per-attribute ones — and a one-hot
+    MXU matmul instead of a gather for small scenes (ops/gather.py).
+    Gradients w.r.t. geometry flow through ``scene.tri_surf``."""
+    return scene.tri_surf[jnp.maximum(prim, 0)]
+
+
+def compute_surface(scene, prim, u, v, backface, ro, rd, t, inst=None,
+                    row=None):
     """Interpolate differentiable surface attributes for hit triangles.
 
     ``inst``: (R,) instance indices under TLAS instancing — vertex data is
     object-space and gets transformed here (positions by the instance
     matrix, normals by its inverse-transpose), keeping all downstream math
-    identical to the flattened path.
+    identical to the flattened path.  ``row``: optional pre-fetched
+    :func:`fetch_tri_row` result shared with the other per-hit lookups.
     """
-    safe_prim = jnp.maximum(prim, 0)
-    vidx = scene.tri_vidx[safe_prim]          # (R, 3)
-    p0 = scene.vertices[vidx[:, 0]]
-    p1 = scene.vertices[vidx[:, 1]]
-    p2 = scene.vertices[vidx[:, 2]]
-    n0 = scene.normals[vidx[:, 0]]
-    n1 = scene.normals[vidx[:, 1]]
-    n2 = scene.normals[vidx[:, 2]]
-    uv0 = scene.uvs[vidx[:, 0]]
-    uv1 = scene.uvs[vidx[:, 1]]
-    uv2 = scene.uvs[vidx[:, 2]]
+    if row is None:
+        row = fetch_tri_row(scene, prim)
+    p0, p1, p2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+    n0, n1, n2 = row[:, 9:12], row[:, 12:15], row[:, 15:18]
+    uv0, uv1, uv2 = row[:, 18:20], row[:, 20:22], row[:, 22:24]
     if scene.mode == "tlas":
         ii = jnp.maximum(inst, 0)
         p0 = _inst_xform_point(scene.inst, ii, p0)
@@ -143,12 +150,13 @@ def compute_surface(scene, prim, u, v, backface, ro, rd, t, inst=None):
                    backfacing=backface, tri_area=tri_area, lod_base=lod_base)
 
 
-def pick_hit_material(scene, prim, backface):
+def pick_hit_material(scene, prim, backface, row=None):
     """Front/back material id per hit (reference tri_mat_data_t select,
     ShadeRef.cpp:1256-1266). Returns -1 where no material applies."""
-    safe_prim = jnp.maximum(prim, 0)
-    front = scene.tri_mat[safe_prim, 0]
-    back = scene.tri_mat[safe_prim, 1]
+    if row is None:
+        row = fetch_tri_row(scene, prim)
+    front = row[:, 24].astype(jnp.int32)
+    back = row[:, 25].astype(jnp.int32)
     return jnp.where(backface, back, front)
 
 
@@ -159,17 +167,24 @@ def resolve_mix(scene, mat_id, uv, mix_rand, I, N, ext_ior, backfacing, tex_rand
     Returns (leaf_mat_id, rescaled mix_rand, mix_weight).  Unrolled to
     ``MAX_MIX_DEPTH``; non-Mix lanes pass through unchanged.
     """
+    if not scene.has_mix:  # static: no Mix nodes in this scene
+        return mat_id, mix_rand, jnp.ones_like(mix_rand)
     mats = scene.materials
     mix_weight = jnp.ones_like(mix_rand)
     for _ in range(MAX_MIX_DEPTH):
         safe_id = jnp.maximum(mat_id, 0)
-        is_mix = (mats["type"][safe_id] == ShadingNode.MIX) & (mat_id >= 0)
-        mix_val = mats["strength"][safe_id]
-        base_tex = mats["base_texture"][safe_id]
-        lod = None if lam is None else texture_lod(scene.textures, base_tex, lam)
-        tex = sample_bilinear(scene.textures, base_tex, uv, lod)
-        mix_val = mix_val * jnp.where(base_tex >= 0, tex[:, 0], 1.0)
-        ior = mats["ior"][safe_id]
+        (mtype_, mix_val, base_tex, ior, flags_, mm1, mm2) = read_packed(
+            [mats["type"], mats["strength"], mats["base_texture"],
+             mats["ior"], mats["flags"], mats["mix_mat1"],
+             mats["mix_mat2"]],
+            safe_id,
+        )
+        is_mix = (mtype_ == ShadingNode.MIX) & (mat_id >= 0)
+        if scene.has_textures:
+            lod = (None if lam is None
+                   else texture_lod(scene.textures, base_tex, lam))
+            tex = sample_bilinear(scene.textures, base_tex, uv, lod)
+            mix_val = mix_val * jnp.where(base_tex >= 0, tex[:, 0], 1.0)
         eta = jnp.where(
             backfacing,
             safe_div_pos(ext_ior, ior),
@@ -182,11 +197,9 @@ def resolve_mix(scene, mat_id, uv, mix_rand, I, N, ext_ior, backfacing, tex_rand
         )
         mix_val = mix_val * jnp.clip(rr, 0.0, 1.0)
 
-        mix_add = (mats["flags"][safe_id] & MAT_FLAG_MIX_ADD) != 0
+        mix_add = (flags_ & MAT_FLAG_MIX_ADD) != 0
         take2 = mix_rand <= mix_val
-        new_id = jnp.where(
-            take2, mats["mix_mat2"][safe_id], mats["mix_mat1"][safe_id]
-        )
+        new_id = jnp.where(take2, mm2, mm1)
         w_mult = jnp.where(
             mix_add,
             jnp.where(take2, safe_div_pos(1.0, mix_val), safe_div_pos(1.0, 1.0 - mix_val)),
@@ -210,21 +223,27 @@ def shadow_transmittance(scene, mat_id, uv, lam=None, depth: int = MAX_MIX_DEPTH
     Transparent leaves' base colors)."""
     mats = scene.materials
     safe_id = jnp.maximum(mat_id, 0)
-    mtype = mats["type"][safe_id]
+    (mtype, bcol, mix_val, base_tex, mm1, mm2) = read_packed(
+        [mats["type"], mats["base_color"], mats["strength"],
+         mats["base_texture"], mats["mix_mat1"], mats["mix_mat2"]],
+        safe_id,
+    )
     is_transp = (mtype == ShadingNode.TRANSPARENT) & (mat_id >= 0)
-    leaf = jnp.where(is_transp[:, None], mats["base_color"][safe_id], 0.0)
+    leaf = jnp.where(is_transp[:, None], bcol, 0.0)
     if depth == 0:
         return leaf
     is_mix = (mtype == ShadingNode.MIX) & (mat_id >= 0)
-    mix_val = mats["strength"][safe_id]
-    base_tex = mats["base_texture"][safe_id]
-    from ray_tpu.scene.textures import sample_bilinear, texture_lod
+    if not scene.has_mix:  # static: Transparent leaves only
+        return leaf
+    if scene.has_textures:
+        from ray_tpu.scene.textures import sample_bilinear, texture_lod
 
-    lod = None if lam is None else texture_lod(scene.textures, base_tex, lam)
-    tex = sample_bilinear(scene.textures, base_tex, uv, lod)
-    mix_val = jnp.clip(mix_val * jnp.where(base_tex >= 0, tex[:, 0], 1.0), 0.0, 1.0)
-    t1 = shadow_transmittance(scene, mats["mix_mat1"][safe_id], uv, lam, depth - 1)
-    t2 = shadow_transmittance(scene, mats["mix_mat2"][safe_id], uv, lam, depth - 1)
+        lod = None if lam is None else texture_lod(scene.textures, base_tex, lam)
+        tex = sample_bilinear(scene.textures, base_tex, uv, lod)
+        mix_val = mix_val * jnp.where(base_tex >= 0, tex[:, 0], 1.0)
+    mix_val = jnp.clip(mix_val, 0.0, 1.0)
+    t1 = shadow_transmittance(scene, mm1, uv, lam, depth - 1)
+    t2 = shadow_transmittance(scene, mm2, uv, lam, depth - 1)
     mixed = (1.0 - mix_val)[:, None] * t1 + mix_val[:, None] * t2
     return jnp.where(is_mix[:, None], mixed, leaf)
 
@@ -233,9 +252,13 @@ def apply_normal_map(scene, mat_id, surf: Surface, I, tex_rand, lam=None):
     """Tangent-space normal mapping + Cycles' ensure_valid_reflection-lite
     clamp (full iterative version: ShadeRef.cpp:252-352; we clamp the shading
     normal so the reflection of -I stays above the geometric horizon)."""
+    if not scene.has_normal_maps:  # static
+        return surf
     mats = scene.materials
     safe_id = jnp.maximum(mat_id, 0)
-    nm = mats["normal_map"][safe_id]
+    nm, nm_k = read_packed(
+        [mats["normal_map"], mats["normal_map_intensity"]], safe_id
+    )
     has = nm >= 0
     lod = None if lam is None else texture_lod(scene.textures, nm, lam)
     tex = sample_bilinear(scene.textures, nm, surf.uv, lod)
@@ -246,7 +269,7 @@ def apply_normal_map(scene, mat_id, surf: Surface, I, tex_rand, lam=None):
     N_new = safe_normalize(
         n_ts[:, 0:1] * surf.T + n_ts[:, 2:3] * surf.N + n_ts[:, 1:2] * surf.B
     )
-    k = mats["normal_map_intensity"][safe_id][:, None]
+    k = nm_k[:, None]
     N_new = safe_normalize(surf.N + (N_new - surf.N) * k)
 
     # keep reflections valid: blend back toward geometric normal if the

@@ -17,6 +17,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from ray_tpu.ops.gather import read_packed
 from ray_tpu.ops.linalg import dot, lum, safe_div_pos, saturate
 from ray_tpu.render.bsdf.microfacet import (
     PI,
@@ -87,43 +88,45 @@ def gather_uber_params(scene, mat_id, uv, I, N, backfacing, ext_ior, tex_rand,
     own mip level from it (reference get_texture_lod per fetch)."""
     m = scene.materials
     i = jnp.maximum(mat_id, 0)
-    mtype = m["type"][i]
+
+    # one packed one-hot-matmul read replaces ~20 per-column gathers —
+    # gather fusions were ~45% of forward device time (ops/gather.py)
+    (mtype, base_color, base_tex, roughness, rough_tex, metallic, met_tex,
+     specular, spec_tex, anisotropic, specular_tint, transmission,
+     transmission_roughness, clearcoat, clearcoat_roughness, sheen,
+     sheen_tint, mat_ior, strength, emis_strength, emission_color,
+     flags) = read_packed(
+        [m["type"], m["base_color"], m["base_texture"], m["roughness"],
+         m["roughness_texture"], m["metallic"], m["metallic_texture"],
+         m["specular"], m["specular_texture"], m["anisotropic"],
+         m["specular_tint"], m["transmission"],
+         m["transmission_roughness"], m["clearcoat"],
+         m["clearcoat_roughness"], m["sheen"], m["sheen_tint"], m["ior"],
+         m["strength"], m["emission_strength"], m["emission_color"],
+         m["flags"]],
+        i,
+    )
+    sheen = 2.0 * sheen
 
     def _fetch(tex_id):
+        if not scene.has_textures:  # static: trace away the whole fetch
+            return jnp.ones((uv.shape[0], 4), jnp.float32)
         lod = None if lam is None else texture_lod(scene.textures, tex_id, lam)
         return sample_bilinear(scene.textures, tex_id, uv, lod)
 
-    base_color = m["base_color"][i]
-    base_tex = m["base_texture"][i]
     tex = _fetch(base_tex)
     base_color = base_color * jnp.where((base_tex >= 0)[:, None], tex[:, :3], 1.0)
 
-    roughness = m["roughness"][i]
-    rough_tex = m["roughness_texture"][i]
     rtex = _fetch(rough_tex)
     roughness = roughness * jnp.where(rough_tex >= 0, rtex[:, 0], 1.0)
     if min_roughness > 0.0:  # spatial-cache update pass (ShadeRef.cpp:1450)
         roughness = jnp.maximum(roughness, min_roughness)
 
-    metallic = m["metallic"][i]
-    met_tex = m["metallic_texture"][i]
     mtex = _fetch(met_tex)
     metallic = metallic * jnp.where(met_tex >= 0, mtex[:, 0], 1.0)
 
-    specular = m["specular"][i]
-    spec_tex = m["specular_texture"][i]
     stex = _fetch(spec_tex)
     specular = specular * jnp.where(spec_tex >= 0, stex[:, 0], 1.0)
-
-    anisotropic = m["anisotropic"][i]
-    specular_tint = m["specular_tint"][i]
-    transmission = m["transmission"][i]
-    transmission_roughness = m["transmission_roughness"][i]
-    clearcoat = m["clearcoat"][i]
-    clearcoat_roughness = m["clearcoat_roughness"][i]
-    sheen = 2.0 * m["sheen"][i]
-    sheen_tint = m["sheen_tint"][i]
-    mat_ior = m["ior"][i]
 
     base_color_lum = lum(base_color)
     tint_color = jnp.where(
@@ -211,16 +214,14 @@ def gather_uber_params(scene, mat_id, uv, I, N, backfacing, ext_ior, tex_rand,
         backfacing, safe_div_pos(mat_ior, ext_ior), safe_div_pos(ext_ior, mat_ior)
     )
 
-    strength = m["strength"][i]
-    emis_strength = m["emission_strength"][i]
     emission = jnp.where(
         is_emissive[:, None],
         base_color * strength[:, None],
-        m["emission_color"][i] * emis_strength[:, None],
+        emission_color * emis_strength[:, None],
     )
     from ray_tpu.scene.materials import MAT_FLAG_IMP_SAMPLE
 
-    imp = (m["flags"][i] & MAT_FLAG_IMP_SAMPLE) != 0
+    imp = (flags & MAT_FLAG_IMP_SAMPLE) != 0
 
     return UberParams(
         w_diffuse=w_diffuse,

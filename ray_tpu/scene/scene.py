@@ -112,10 +112,48 @@ class SceneFlat:
     has_transparency: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    # packed per-triangle surface row (see _pack_tri_surf) — the one gather
+    # a hit needs; object-space under TLAS instancing (col 28 is then the
+    # per-mesh emissive ordinal, not a global light id)
+    tri_surf: Any = None
+    # static feature flags: let jit trace specialize away whole subsystems
+    # (texture fetches, Mix resolution, normal mapping) the scene can't need
+    has_textures: bool = dataclasses.field(
+        default=True, metadata=dict(static=True)
+    )
+    has_mix: bool = dataclasses.field(
+        default=True, metadata=dict(static=True)
+    )
+    has_normal_maps: bool = dataclasses.field(
+        default=True, metadata=dict(static=True)
+    )
 
     @property
     def num_tris(self) -> int:
         return int(self.tri_vidx.shape[0])
+
+
+
+def _pack_tri_surf(vertices, normals, uvs, tri_vidx, tri_mats, tri_solid,
+                   tri_light):
+    """Pack per-triangle surface attributes into one (T, 29) f32 row so a
+    hit needs a single row gather instead of ~14 separate ones (TPU row
+    gathers near-serialize; see ops/gather.py).  Layout:
+    p0 p1 p2 (9) | n0 n1 n2 (9) | uv0 uv1 uv2 (6) | mat_f mat_b (2) |
+    solid_f solid_b (2) | light (1).  Int columns ride as exact f32
+    (< 2^24)."""
+    p = vertices[tri_vidx]            # (T, 3, 3)
+    n = normals[tri_vidx]
+    t = uvs[tri_vidx]                 # (T, 3, 2)
+    T = tri_vidx.shape[0]
+    return np.concatenate([
+        p.reshape(T, 9).astype(np.float32),
+        n.reshape(T, 9).astype(np.float32),
+        t.reshape(T, 6).astype(np.float32),
+        tri_mats.astype(np.float32),
+        tri_solid.astype(np.float32),
+        tri_light.astype(np.float32)[:, None],
+    ], axis=1)
 
 
 @dataclasses.dataclass
@@ -436,6 +474,10 @@ class Scene:
             "tri_light": tri_light,
             "tri_vis": tri_viss,
             "tri_solid": self._tri_solidity(tri_mats),
+            "tri_surf": _pack_tri_surf(
+                vertices, normals, uv, tri_vidx, tri_mats,
+                self._tri_solidity(tri_mats), tri_light,
+            ),
             "bvh_soa": pack_bvh_soa(bvh),
             "tri_soa": pack_tri_soa(vertices, tri_vidx),
             "root_lo": bvh.root_lo,
@@ -632,6 +674,10 @@ class Scene:
             "tri_light": np.full(tri_vidx.shape[0], -1, np.int32),
             "tri_light_local": tri_light_local,
             "tri_solid": self._tri_solidity(tri_mats),
+            "tri_surf": _pack_tri_surf(
+                vertices, normals, uv, tri_vidx, tri_mats,
+                self._tri_solidity(tri_mats), tri_light_local,
+            ),
             "bvh_soa": nodes_soa,
             "tri_soa": pack_tri_soa(vertices, tri_vidx),
             "root_lo": tlas.root_lo,
@@ -742,6 +788,14 @@ class Scene:
             "static": {
                 "num_lights": len(light_descs),
                 "env_light_index": env_light_index,
+                # feature flags let jit drop whole subsystems at trace time
+                "has_textures": len(self._textures.num_mips) > 0,
+                "has_mix": any(
+                    d.type == ShadingNode.MIX for d in self._materials
+                ),
+                "has_normal_maps": any(
+                    d.normal_map >= 0 for d in self._materials
+                ),
                 "light_kinds": tuple(
                     (int(d.type), bool(d.visible), bool(d.doublesided),
                      bool(d.sky_portal))

@@ -68,7 +68,11 @@ def test_ortho_framing_matches_persp_at_focus_plane():
                         focus_distance=3.0, cam_type=CamType.ORTHO)
     _, col_p = _render_depth(persp, scene)
     _, col_o = _render_depth(ortho, scene)
-    np.testing.assert_allclose(col_o, col_p, rtol=0.15, atol=0.02)
+    # interior pixels only — at the frame border persp rays graze past the
+    # wall edge where ortho rays don't
+    ip = col_p.reshape(H, W, 3)[1:-1, 1:-1]
+    io = col_o.reshape(H, W, 3)[1:-1, 1:-1]
+    np.testing.assert_allclose(io, ip, rtol=0.15, atol=0.02)
 
 
 def _floor_light_scene():
