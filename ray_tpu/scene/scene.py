@@ -314,7 +314,8 @@ class Scene:
 
     # -- finalize ----------------------------------------------------------
     def finalize(self, max_leaf: int = 4, light_tree_min_lights: int = 5,
-                 instancing: str = "auto") -> SceneFlat:
+                 instancing: str = "auto",
+                 fast_build: bool = False) -> SceneFlat:
         """Compile to a SceneFlat (the analogue of Scene::Finalize,
         SceneCPU.cpp:882: env light registration + BVH + light table).
 
@@ -339,8 +340,12 @@ class Scene:
             instancing = "tlas" if len(ids) != len(set(ids)) else "flatten"
         assert instancing in ("flatten", "tlas"), instancing
         if instancing == "tlas":
-            return self._finalize_tlas(max_leaf, light_tree_min_lights, has_vis)
-        return self._finalize_flatten(max_leaf, light_tree_min_lights, has_vis)
+            return self._finalize_tlas(
+                max_leaf, light_tree_min_lights, has_vis, fast_build
+            )
+        return self._finalize_flatten(
+            max_leaf, light_tree_min_lights, has_vis, fast_build
+        )
 
     def _material_solidity(self) -> np.ndarray:
         """Per-material shadow solidity: True iff the Mix DAG below the
@@ -393,7 +398,8 @@ class Scene:
             col = np.asarray(d.emission_color) * d.emission_strength
         return col, d.two_sided
 
-    def _finalize_flatten(self, max_leaf, light_tree_min_lights, has_vis):
+    def _finalize_flatten(self, max_leaf, light_tree_min_lights, has_vis,
+                          fast_build=False):
         verts, norms, uvs, tris, tri_mat, tri_vis = [], [], [], [], [], []
         voffset = 0
         for mesh_id, xf, vis in self._instances:
@@ -431,7 +437,12 @@ class Scene:
         # BVH over world-space triangles; permute tri arrays to leaf order so
         # the traversal kernel indexes them directly (no extra indirection).
         lo, hi = tri_bounds(vertices, tri_vidx)
-        bvh = build_bvh2(lo, hi, max_leaf=max_leaf)
+        if fast_build:
+            from ray_tpu.scene.hlbvh import build_hlbvh
+
+            bvh = build_hlbvh(lo, hi, max_leaf=max_leaf)
+        else:
+            bvh = build_bvh2(lo, hi, max_leaf=max_leaf)
         perm = bvh.prim_indices
         tri_vidx = tri_vidx[perm]
         tri_mats = tri_mats[perm]
@@ -496,7 +507,8 @@ class Scene:
             **common["static"],
         )
 
-    def _finalize_tlas(self, max_leaf, light_tree_min_lights, has_vis):
+    def _finalize_tlas(self, max_leaf, light_tree_min_lights, has_vis,
+                       fast_build=False):
         """Two-level compile: per-mesh object-space BLAS + TLAS over
         instances, all nodes merged into one code space (TLAS rows first;
         see ops/traverse.py _traverse_tlas)."""
@@ -511,10 +523,14 @@ class Scene:
         # --- per-mesh BLAS (shared by all instances of the mesh) ---
         blas = [None] * len(meshes)
         mesh_used = sorted({m for m, _, _ in self._instances})
+        if fast_build:
+            from ray_tpu.scene.hlbvh import build_hlbvh as _build
+        else:
+            _build = build_bvh2
         for mi in mesh_used:
             m = meshes[mi]
             lo, hi = tri_bounds(m.vertices, m.indices)
-            blas[mi] = build_bvh2(lo, hi, max_leaf=max_leaf)
+            blas[mi] = _build(lo, hi, max_leaf=max_leaf)
 
         # --- concatenated object-space geometry in BLAS leaf order ---
         verts, norms, uvs, tris, tri_mat = [], [], [], [], []

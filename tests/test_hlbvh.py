@@ -129,3 +129,25 @@ def test_hlbvh_handles_small_and_degenerate():
     for first, count in _leaf_ranges(b):
         seen[b.prim_indices[first:first + count]] = True
     assert seen.all()
+
+
+def test_hlbvh_scene_render_parity():
+    """fast_build=True renders the same image (up to closest-hit
+    tie-breaking on touching triangles — different leaf order can pick a
+    different winner on shared edges, changing that pixel's RNG path)."""
+    from ray_tpu.render.integrator import PassSettings
+    from ray_tpu.render.renderer import Renderer, RenderSettings
+    from ray_tpu.utils.test_scenes import cornell_scene
+
+    sc, cam = cornell_scene("emissive_quad")
+    imgs = []
+    for fast in (False, True):
+        scene = sc.finalize(fast_build=fast)
+        r = Renderer(
+            RenderSettings(width=24, height=24),
+            PassSettings(max_total_depth=3, min_total_depth=3),
+        )
+        imgs.append(r.render(scene, cam, samples=8))
+    d = np.abs(imgs[0] - imgs[1]).max(axis=-1)
+    assert (d > 1e-5).mean() < 0.01      # ≤1% tie-break pixels
+    assert np.median(d) == 0.0
