@@ -154,21 +154,22 @@ def _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf, stack_size,
         is_leaf = (cur < 0) & (cur != _EMPTY)
         node = jnp.where(is_node, cur, 0)
 
-        # ---- internal: test both children ----
+        # ---- internal: test both children (ONE packed-row gather) ----
+        nrow = bvh["packed"][node]  # (R, 14)
         h0, t0 = _aabb_c(
             ox, oy, oz, ix, iy, iz,
-            bvh["lo0x"][node], bvh["lo0y"][node], bvh["lo0z"][node],
-            bvh["hi0x"][node], bvh["hi0y"][node], bvh["hi0z"][node],
+            nrow[:, 0], nrow[:, 1], nrow[:, 2],
+            nrow[:, 3], nrow[:, 4], nrow[:, 5],
             t_min, hit.t,
         )
         h1, t1 = _aabb_c(
             ox, oy, oz, ix, iy, iz,
-            bvh["lo1x"][node], bvh["lo1y"][node], bvh["lo1z"][node],
-            bvh["hi1x"][node], bvh["hi1y"][node], bvh["hi1z"][node],
+            nrow[:, 6], nrow[:, 7], nrow[:, 8],
+            nrow[:, 9], nrow[:, 10], nrow[:, 11],
             t_min, hit.t,
         )
-        c0 = bvh["code0"][node]
-        c1 = bvh["code1"][node]
+        c0 = jax.lax.bitcast_convert_type(nrow[:, 12], jnp.int32)
+        c1 = jax.lax.bitcast_convert_type(nrow[:, 13], jnp.int32)
         near_is_0 = t0 <= t1
         near_code = jnp.where(near_is_0, c0, c1)
         far_code = jnp.where(near_is_0, c1, c0)
@@ -196,11 +197,12 @@ def _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf, stack_size,
                 # per-ray-type visibility (reference mesh_instance_t
                 # ray_visibility test, internal/CoreRef.cpp:1890+)
                 valid = valid & ((tri_vis[tri] & ray_mask) != 0)
+            trow = tris["packed"][tri]  # (R, 9) — one gather per leaf slot
             th, tt, tu, tv, tb = _tri_c(
                 ox, oy, oz, dx, dy, dz,
-                tris["p0x"][tri], tris["p0y"][tri], tris["p0z"][tri],
-                tris["p1x"][tri], tris["p1y"][tri], tris["p1z"][tri],
-                tris["p2x"][tri], tris["p2y"][tri], tris["p2z"][tri],
+                trow[:, 0], trow[:, 1], trow[:, 2],
+                trow[:, 3], trow[:, 4], trow[:, 5],
+                trow[:, 6], trow[:, 7], trow[:, 8],
                 t_min, t_max if any_hit else t_best,
             )
             take = th & valid
@@ -217,6 +219,138 @@ def _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf, stack_size,
             next_cur = jnp.where(done, _EMPTY, next_cur)
 
         # pop where exhausted: one-hot reduce over the S axis
+        need_pop = (next_cur == _EMPTY) & (sp > 0)
+        top = sp - 1
+        popped = jnp.max(
+            jnp.where(s_iota == top[None, :], stack, _EMPTY), axis=0
+        )
+        next_cur = jnp.where(need_pop, popped, next_cur)
+        sp = jnp.where(need_pop, sp - 1, sp)
+
+        new_hit = Hit(t=t_best, prim=prim_best, u=u_best, v=v_best,
+                      backface=bf_best)
+        return stack, sp, next_cur, new_hit
+
+    _, _, _, hit = jax.lax.while_loop(cond, body, (stack0, sp0, cur0, hit0))
+    return hit
+
+
+def _traverse_wide(wn, ro, rd, t_min, t_max, active, max_leaf, stack_size,
+                   any_hit, has_vis=False, ray_mask=None):
+    """8-wide wavefront traversal over the wbvh (scene/wbvh.py) — the TPU
+    analogue of the reference's wbvh path (Traverse_TLAS_WithStack over
+    wbvh_node_t, CoreRef.cpp:2027).  One row gather per step fetches all 8
+    children; leaf visits fetch one padded leaf-group row.  The stack holds
+    ``node<<8|mask`` resume codes — a pop re-enters the node-visit branch
+    with the remaining-children mask, so multi-hit nodes never need a
+    second stack slot."""
+    R = ro.shape[0]
+    ox, oy, oz = ro[:, 0], ro[:, 1], ro[:, 2]
+    dx, dy, dz = rd[:, 0], rd[:, 1], rd[:, 2]
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    nodes = wn["nodes"]
+    leaves = wn["leaves"]
+
+    s_iota = jnp.arange(stack_size, dtype=jnp.int32)[:, None]
+    stack0 = jnp.full((stack_size, R), _EMPTY, jnp.int32)
+    sp0 = jnp.zeros((R,), jnp.int32)
+    cur0 = jnp.where(active, jnp.int32(0xFF), _EMPTY)  # root<<8 | full mask
+
+    hit0 = Hit(
+        t=jnp.asarray(t_max, jnp.float32),
+        prim=jnp.full((R,), -1, jnp.int32),
+        u=jnp.zeros((R,), jnp.float32),
+        v=jnp.zeros((R,), jnp.float32),
+        backface=jnp.zeros((R,), jnp.bool_),
+    )
+
+    def cond(state):
+        return jnp.any(state[2] != _EMPTY)
+
+    def body(state):
+        stack, sp, cur, hit = state
+        is_node = cur >= 0
+        is_leaf = (cur < 0) & (cur != _EMPTY)
+        node = jnp.where(is_node, cur >> 8, 0)
+        mask = jnp.where(is_node, cur & 0xFF, 0)
+
+        # ---- wide-node visit: one (R, 56) gather, then the whole 8-child
+        # slab test as ONE pass of (8, R) tile math (child-SoA layout,
+        # scene/wbvh.py) — per-child scalar passes cost ~8× more ----
+        nrow = nodes[node].T            # (56, R)
+        lox, loy, loz = nrow[0:8], nrow[8:16], nrow[16:24]
+        hix, hiy, hiz = nrow[24:32], nrow[32:40], nrow[40:48]
+        codes8 = jax.lax.bitcast_convert_type(nrow[48:56], jnp.int32)
+
+        i8 = jnp.arange(8, dtype=jnp.int32)[:, None]           # (8, 1)
+        in_mask = ((mask[None, :] >> i8) & 1) != 0             # (8, R)
+        h8, t8 = _aabb_c(
+            ox[None, :], oy[None, :], oz[None, :],
+            ix[None, :], iy[None, :], iz[None, :],
+            lox, loy, loz, hix, hiy, hiz,
+            t_min[None, :], hit.t[None, :],
+        )
+        ok8 = h8 & in_mask & (codes8 != _EMPTY) & is_node[None, :]
+        t8m = jnp.where(ok8, t8, jnp.inf)
+        best_i = jnp.argmin(t8m, axis=0).astype(jnp.int32)     # (R,)
+        hit_any = jnp.any(ok8, axis=0)
+        onehot = i8 == best_i[None, :]
+        best_code = jnp.sum(jnp.where(onehot, codes8, 0), axis=0)
+        rem = jnp.sum(
+            jnp.where(ok8 & (~onehot), jnp.int32(1) << i8, 0), axis=0
+        )
+
+        # push a resume code if other children remain
+        push = is_node & hit_any & (rem != 0)
+        resume = (node << 8) | rem
+        stack = jnp.where((s_iota == sp[None, :]) & push[None, :],
+                          resume[None, :], stack)
+        sp = sp + push.astype(jnp.int32)
+        from_node = jnp.where(is_node & hit_any, best_code, _EMPTY)
+
+        # ---- leaf visit: one gather, all max_leaf triangles as one
+        # (max_leaf, R) Möller-Trumbore pass (slot-SoA layout) ----
+        group = jnp.where(is_leaf, -cur - 1, 0)
+        grow = leaves[group].T          # (W, R)
+        L = max_leaf
+        th, tt, tu, tv, tb = _tri_c(
+            ox[None, :], oy[None, :], oz[None, :],
+            dx[None, :], dy[None, :], dz[None, :],
+            grow[0:L], grow[L:2 * L], grow[2 * L:3 * L],
+            grow[3 * L:4 * L], grow[4 * L:5 * L], grow[5 * L:6 * L],
+            grow[6 * L:7 * L], grow[7 * L:8 * L], grow[8 * L:9 * L],
+            t_min[None, :], (t_max if any_hit else hit.t)[None, :],
+        )
+        prim4 = jax.lax.bitcast_convert_type(grow[9 * L:10 * L], jnp.int32)
+        valid4 = is_leaf[None, :] & (prim4 >= 0)
+        if has_vis:
+            vis4 = jax.lax.bitcast_convert_type(
+                grow[10 * L:11 * L], jnp.int32
+            )
+            valid4 = valid4 & ((vis4 & ray_mask[None, :]) != 0)
+        hit4 = th & valid4
+        tt4 = jnp.where(hit4, tt, jnp.inf)
+        k_best = jnp.argmin(tt4, axis=0).astype(jnp.int32)
+        koh = jnp.arange(L, dtype=jnp.int32)[:, None] == k_best[None, :]
+
+        def pick(a, fill):
+            return jnp.sum(jnp.where(koh, a, fill), axis=0)
+
+        any4 = jnp.any(hit4, axis=0)
+        lt = pick(tt4, 0.0)
+        take = any4 & (lt < hit.t)
+        t_best = jnp.where(take, lt, hit.t)
+        prim_best = jnp.where(take, pick(prim4, 0), hit.prim)
+        u_best = jnp.where(take, pick(tu, 0.0), hit.u)
+        v_best = jnp.where(take, pick(tv, 0.0), hit.v)
+        bf_best = jnp.where(take, jnp.any(koh & tb, axis=0), hit.backface)
+
+        next_cur = from_node
+        if any_hit:
+            done = prim_best >= 0
+            sp = jnp.where(done, 0, sp)
+            next_cur = jnp.where(done, _EMPTY, next_cur)
+
         need_pop = (next_cur == _EMPTY) & (sp > 0)
         top = sp - 1
         popped = jnp.max(
@@ -279,10 +413,19 @@ def trace_closest_soa(bvh, tris, ro, rd, t_min, t_max, active,
       tri_vis/ray_mask: optional (T,)/(R,) i32 per-ray-type visibility —
         triangles whose mask shares no bit with the ray's are skipped.
     """
+    wide = "wnodes" in bvh
+    wide_vis = wide and bvh["wleaves"].shape[1] == max_leaf * 11
     if tri_vis is not None:
-        hit = _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf,
-                        stack_size, any_hit=False, tri_vis=tri_vis,
-                        ray_mask=ray_mask)
+        if wide_vis:
+            hit = _traverse_wide(
+                {"nodes": bvh["wnodes"], "leaves": bvh["wleaves"]},
+                ro, rd, t_min, t_max, active, max_leaf, stack_size,
+                any_hit=False, has_vis=True, ray_mask=ray_mask,
+            )
+        else:
+            hit = _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf,
+                            stack_size, any_hit=False, tri_vis=tri_vis,
+                            ray_mask=ray_mask)
         return Hit(
             t=jax.lax.stop_gradient(hit.t),
             prim=hit.prim,
@@ -301,6 +444,12 @@ def trace_closest_soa(bvh, tris, ro, rd, t_min, t_max, active,
 
         hit = trace_bvh_pallas(bvh, tris, ro, rd, t_min, t_max, active,
                                max_leaf=max_leaf, stack_size=stack_size)
+    elif wide:
+        hit = _traverse_wide(
+            {"nodes": bvh["wnodes"], "leaves": bvh["wleaves"]},
+            ro, rd, t_min, t_max, active, max_leaf, stack_size,
+            any_hit=False,
+        )
     else:
         hit = _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf,
                         stack_size, any_hit=False)
@@ -323,10 +472,19 @@ def trace_occlusion_soa(bvh, tris, ro, rd, t_min, t_max, active,
     (internal/CoreRef.cpp:2135).  Alpha-tested/transparent occluders are
     handled a level up (shade stage); this kernel treats triangles as solid.
     """
+    wide = "wnodes" in bvh
+    wide_vis = wide and bvh["wleaves"].shape[1] == max_leaf * 11
     if tri_vis is not None:
-        hit = _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf,
-                        stack_size, any_hit=True, tri_vis=tri_vis,
-                        ray_mask=ray_mask)
+        if wide_vis:
+            hit = _traverse_wide(
+                {"nodes": bvh["wnodes"], "leaves": bvh["wleaves"]},
+                ro, rd, t_min, t_max, active, max_leaf, stack_size,
+                any_hit=True, has_vis=True, ray_mask=ray_mask,
+            )
+        else:
+            hit = _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf,
+                            stack_size, any_hit=True, tri_vis=tri_vis,
+                            ray_mask=ray_mask)
         return hit.prim >= 0
     mode = _pallas_mode(bvh["code0"].shape[0], tris["p0x"].shape[0])
     if mode == "brute":
@@ -341,6 +499,12 @@ def trace_occlusion_soa(bvh, tris, ro, rd, t_min, t_max, active,
         hit = trace_bvh_pallas(bvh, tris, ro, rd, t_min, t_max, active,
                                max_leaf=max_leaf, stack_size=stack_size,
                                any_hit=True)
+        return hit.prim >= 0
+    if wide:
+        hit = _traverse_wide(
+            {"nodes": bvh["wnodes"], "leaves": bvh["wleaves"]},
+            ro, rd, t_min, t_max, active, max_leaf, stack_size, any_hit=True,
+        )
         return hit.prim >= 0
     hit = _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf,
                     stack_size, any_hit=True)
@@ -359,11 +523,19 @@ def _soa_from_arrays(nodes_child_lo, nodes_child_hi, nodes_child,
             bvh[f"lo{side}{ax}"] = nodes_child_lo[:, side, axis]
             bvh[f"hi{side}{ax}"] = nodes_child_hi[:, side, axis]
         bvh[f"code{side}"] = nodes_child[:, side]
+    bvh["packed"] = jnp.concatenate([
+        nodes_child_lo[:, 0], nodes_child_hi[:, 0],
+        nodes_child_lo[:, 1], nodes_child_hi[:, 1],
+        jax.lax.bitcast_convert_type(
+            nodes_child.astype(jnp.int32), jnp.float32
+        ),
+    ], axis=1)
     tris_leaf = vertices[tri_vidx[prim_indices]]  # (T, 3, 3) leaf order
     tris = {}
     for v in range(3):
         for axis, ax in enumerate("xyz"):
             tris[f"p{v}{ax}"] = tris_leaf[:, v, axis]
+    tris["packed"] = tris_leaf.reshape(tris_leaf.shape[0], 9)
     return bvh, tris
 
 
@@ -490,21 +662,23 @@ def _traverse_tlas(nodes, tris, inst, ro, rd, t_min, t_max, active, ray_mask,
         is_restore = cur == _RESTORE
         node = jnp.where(is_node, cur, 0)
 
-        # ---- internal node (TLAS or BLAS — same columns, current-space ray)
+        # ---- internal node (TLAS or BLAS — same columns, current-space
+        # ray): ONE packed-row gather per step ----
+        nrow = nodes["packed"][node]  # (R, 14)
         h0, t0 = _aabb_c(
             ox, oy, oz, ix, iy, iz,
-            nodes["lo0x"][node], nodes["lo0y"][node], nodes["lo0z"][node],
-            nodes["hi0x"][node], nodes["hi0y"][node], nodes["hi0z"][node],
+            nrow[:, 0], nrow[:, 1], nrow[:, 2],
+            nrow[:, 3], nrow[:, 4], nrow[:, 5],
             t_min, hit.t,
         )
         h1, t1 = _aabb_c(
             ox, oy, oz, ix, iy, iz,
-            nodes["lo1x"][node], nodes["lo1y"][node], nodes["lo1z"][node],
-            nodes["hi1x"][node], nodes["hi1y"][node], nodes["hi1z"][node],
+            nrow[:, 6], nrow[:, 7], nrow[:, 8],
+            nrow[:, 9], nrow[:, 10], nrow[:, 11],
             t_min, hit.t,
         )
-        c0 = nodes["code0"][node]
-        c1 = nodes["code1"][node]
+        c0 = jax.lax.bitcast_convert_type(nrow[:, 12], jnp.int32)
+        c1 = jax.lax.bitcast_convert_type(nrow[:, 13], jnp.int32)
         near_is_0 = t0 <= t1
         near_code = jnp.where(near_is_0, c0, c1)
         far_code = jnp.where(near_is_0, c1, c0)
@@ -552,11 +726,12 @@ def _traverse_tlas(nodes, tris, inst, ro, rd, t_min, t_max, active, ray_mask,
         for k in range(max_leaf):
             valid = is_tri & (k < count)
             tri = jnp.where(valid, first + k, 0)
+            trow = tris["packed"][tri]  # (R, 9) — one gather per leaf slot
             th, tt, tu, tv, tb = _tri_c(
                 ox, oy, oz, dx, dy, dz,
-                tris["p0x"][tri], tris["p0y"][tri], tris["p0z"][tri],
-                tris["p1x"][tri], tris["p1y"][tri], tris["p1z"][tri],
-                tris["p2x"][tri], tris["p2y"][tri], tris["p2z"][tri],
+                trow[:, 0], trow[:, 1], trow[:, 2],
+                trow[:, 3], trow[:, 4], trow[:, 5],
+                trow[:, 6], trow[:, 7], trow[:, 8],
                 t_min, t_max if any_hit else t_best,
             )
             take = th & valid

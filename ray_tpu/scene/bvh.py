@@ -256,6 +256,18 @@ def pack_node_columns(child_lo: np.ndarray, child_hi: np.ndarray,
             out[f"lo{side}{ax}"] = np.ascontiguousarray(child_lo[:, side, axis])
             out[f"hi{side}{ax}"] = np.ascontiguousarray(child_hi[:, side, axis])
         out[f"code{side}"] = np.ascontiguousarray(child[:, side])
+    # one packed (N, 14) f32 row per node — the XLA wavefront fetches it with
+    # a single gather per traversal step instead of 14 (TPU row gathers
+    # dominate the step cost otherwise).  Child codes ride *bitcast* into
+    # the f32 columns (gathers never canonicalize bit patterns), so every
+    # int32 code — including TLAS instance leaves with the 1<<28 flag — is
+    # exact; the kernel bitcasts back.
+    codes_f = np.ascontiguousarray(child[:, :2].astype(np.int32)).view(np.float32)
+    out["packed"] = np.concatenate([
+        child_lo[:, 0].astype(np.float32), child_hi[:, 0].astype(np.float32),
+        child_lo[:, 1].astype(np.float32), child_hi[:, 1].astype(np.float32),
+        codes_f,
+    ], axis=1)
     return out
 
 
@@ -272,6 +284,11 @@ def pack_tri_soa(vertices: np.ndarray, tri_vidx: np.ndarray) -> dict:
     for v in range(3):
         for axis, ax in enumerate("xyz"):
             out[f"p{v}{ax}"] = np.ascontiguousarray(tris[:, v, axis])
+    # single-gather row for the XLA wavefront leaf tests (see
+    # pack_node_columns "packed")
+    out["packed"] = np.ascontiguousarray(
+        tris.reshape(tris.shape[0], 9).astype(np.float32)
+    )
     return out
 
 

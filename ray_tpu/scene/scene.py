@@ -134,6 +134,20 @@ class SceneFlat:
 
 
 
+def _bvh_soa_with_wide(bvh, tri_soa, tri_vis=None, min_tris: int = 256):
+    """BVH2 columns + the 8-wide layout (scene/wbvh.py) for scenes past the
+    Pallas-VMEM size — the XLA wavefront then pays one row gather per step
+    for 8 children instead of 2."""
+    out = pack_bvh_soa(bvh)
+    if tri_soa["packed"].shape[0] > min_tris:
+        from ray_tpu.scene.wbvh import build_wbvh
+
+        wb = build_wbvh(bvh, tri_soa["packed"], tri_vis)
+        out["wnodes"] = wb["nodes"]
+        out["wleaves"] = wb["leaves"]
+    return out
+
+
 def _pack_tri_surf(vertices, normals, uvs, tri_vidx, tri_mats, tri_solid,
                    tri_light):
     """Pack per-triangle surface attributes into one (T, 29) f32 row so a
@@ -489,7 +503,10 @@ class Scene:
                 vertices, normals, uv, tri_vidx, tri_mats,
                 self._tri_solidity(tri_mats), tri_light,
             ),
-            "bvh_soa": pack_bvh_soa(bvh),
+            "bvh_soa": _bvh_soa_with_wide(
+                bvh, pack_tri_soa(vertices, tri_vidx),
+                tri_viss if has_vis else None,
+            ),
             "tri_soa": pack_tri_soa(vertices, tri_vidx),
             "root_lo": bvh.root_lo,
             "root_hi": bvh.root_hi,
