@@ -194,8 +194,13 @@ class Scene:
         self.camera: Optional[Camera] = None
 
     # -- resources ---------------------------------------------------------
-    def add_texture(self, image, srgb: bool = False, generate_mips: bool = True) -> int:
-        return self._textures.add(image, srgb=srgb, generate_mips=generate_mips)
+    def add_texture(self, image, srgb: bool = False,
+                    generate_mips: bool = True, compress: bool = False) -> int:
+        """``compress``: store BC1-style 4×4 blocks (~9× smaller, lossy,
+        non-differentiable) — the reference's use_tex_compression."""
+        return self._textures.add(image, srgb=srgb,
+                                  generate_mips=generate_mips,
+                                  compress=compress)
 
     def add_material(self, desc: MaterialDesc) -> int:
         self._materials.append(desc)

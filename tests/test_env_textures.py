@@ -123,7 +123,7 @@ def test_texture_gradient_vs_fd():
 
     def loss(texels):
         s = dataclasses.replace(
-            flat, textures={**flat.textures, "texels": texels}
+            flat, textures={**flat.textures, "texels_t": texels}
         )
         out = render_tile(
             s, cam, table, jnp.int32(0), jnp.int32(0), jnp.uint32(1),
@@ -132,7 +132,7 @@ def test_texture_gradient_vs_fd():
         )
         return jnp.mean(out["color"])
 
-    t0 = flat.textures["texels"]
+    t0 = flat.textures["texels_t"]
     g = jax.grad(loss)(t0)
     assert np.isfinite(np.asarray(g)).all()
     # FD check on one texel channel with nonzero gradient
