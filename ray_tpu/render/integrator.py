@@ -308,10 +308,11 @@ def render_tile(
 
         def _add(acc, contrib, mask, w_dir=None):
             """Masked radiance add; with OutputSH also projects the
-            contribution onto the SH-L1 basis of the direction it arrived
-            at the pixel's first real vertex from (the local direction
-            while that vertex hasn't been shaded yet, the BSDF direction
-            sampled there afterwards)."""
+            contribution onto the SH-L1 basis of its source direction at
+            the pixel's first real vertex — pointing TOWARD the radiance
+            source (probe convention): ls.L for NEE, the ray direction for
+            direct light/env hits, the sampled BSDF direction for
+            everything deeper."""
             c = jnp.where(mask[:, None], contrib, 0.0)
             if settings.output_sh:
                 nonlocal aux_sh

@@ -71,9 +71,12 @@ def test_no_background_removes_env_from_camera_rays(scene_cam):
     )
     base = PassSettings(max_total_depth=2, min_total_depth=2,
                         use_path_termination=False)
-    full, o1 = _render(base, scene, cam)
+    # 1 spp: the sky mask comes from the sample's own depth AUX — with
+    # several jittered samples an edge pixel can be sky in one and wall in
+    # another, making the averaged color nonzero on a "sky" pixel
+    full, o1 = _render(base, scene, cam, spp=1)
     nobg, o2 = _render(
-        dataclasses.replace(base, no_background=True), scene, cam
+        dataclasses.replace(base, no_background=True), scene, cam, spp=1
     )
     # camera rays that escape (depth aux t == 0 → no hit) must go black
     t_hit = np.asarray(o1["depth_normal"])[:, 3]
