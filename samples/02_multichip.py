@@ -4,10 +4,22 @@ over chips with shard_map and psum the stats).  Runs on any device count;
 use XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu
 to simulate a mesh on CPU."""
 
-import sys, pathlib
+import os, sys, pathlib
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+# single-accelerator hosts: simulate an 8-chip mesh on CPU (a real pod
+# runs this unchanged on its chip mesh)
+if "--real" not in sys.argv:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax, jax.numpy as jnp, numpy as np
+
+if "--real" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 from jax.sharding import Mesh
 
 from ray_tpu.parallel.shard import TILE_AXIS, render_sharded
@@ -17,7 +29,7 @@ from ray_tpu.utils.image_io import write_tga
 from ray_tpu.utils.test_scenes import cornell_scene
 
 
-def main(samples=16, size=128):
+def main(samples=4, size=64):
     sc, cam = cornell_scene("emissive_quad")
     scene = sc.finalize()
     devices = np.asarray(jax.devices())
