@@ -9,10 +9,11 @@ analogue of the reference's ``scene_data_t`` pointer bundle
 reference (internal/SparseStorageCPU.h, internal/FreelistAlloc.cpp) have no
 reason to exist here: scenes are compiled host-side in numpy and frozen.
 
-Round-1 simplification: instances are flattened — vertices are transformed
-to world space at finalize and a single world-space BVH is built (the
-reference's two-level TLAS/BLAS, SceneCPU.cpp:928, becomes worthwhile once
-instancing-heavy scenes land; tracked in docs/ROADMAP.md).
+Two finalize modes: 'flatten' pre-transforms instances to world space and
+builds one BVH (+ the 8-wide layout for the TPU wavefront); 'tlas' builds
+the reference-style two-level structure (SceneCPU.cpp:928) — shared
+object-space BLAS per mesh + TLAS over instances — for instancing-heavy
+scenes.  'auto' picks tlas iff some mesh is instanced more than once.
 """
 
 from __future__ import annotations
