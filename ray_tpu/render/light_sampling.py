@@ -356,12 +356,13 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
     # replaces 15 serializing row gathers
     oh = one_hot_f32(idx, nl) if nl <= 128 else None
     (ltype, lcol, lpos, ldir, lu, lv, radius, width, height, angle,
-     visible, doublesided, cast_shadow, spot_cos, spot_blend) = read_packed(
+     visible, doublesided, cast_shadow, spot_cos, spot_blend,
+     portal) = read_packed(
         [lights["type"], lights["col"], lights["pos"], lights["dir"],
          lights["u"], lights["v"], lights["radius"], lights["width"],
          lights["height"], lights["angle"], lights["visible"],
          lights["doublesided"], lights["cast_shadow"], lights["spot_cos"],
-         lights["spot_blend"]],
+         lights["spot_blend"], lights["portal"]],
         idx, oh=oh,
     )
 
@@ -598,6 +599,17 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
     out_area = jnp.where(is_env, 1.0, out_area)
     out_distmul = jnp.where(is_env, MAX_DIST, out_distmul)
     out_fromenv = out_fromenv | is_env
+
+    # sky portals: a rect/disk "window" light that emits the environment
+    # seen through it (reference CoreRef.cpp:3406-3419: ls.col *= env,
+    # ls.from_env = 1) — only when any portal exists in the scene (static)
+    if any(p for (_k, _v, _d, p) in scene.light_kinds):
+        is_portal = portal & (
+            (ltype == LightType.RECT) | (ltype == LightType.DISK)
+        )
+        env_mult = env_color(scene, out_L)
+        out_col = jnp.where(is_portal[:, None], out_col * env_mult, out_col)
+        out_fromenv = out_fromenv | is_portal
 
     # fold in pick probability (reference: ls.pdf /= factor)
     out_pdf = out_pdf * pick_pdf

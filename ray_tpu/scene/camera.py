@@ -73,6 +73,7 @@ def make_camera(
     fwd=None,
     up=(0.0, 1.0, 0.0),
     fov: float = 45.0,
+    focal_len: float = None,
     shift=(0.0, 0.0),
     sensor_height: float = 0.036,
     exposure: float = 0.0,
@@ -111,6 +112,12 @@ def make_camera(
     s = s / np.linalg.norm(s)
     u = np.cross(s, f)
 
+    if focal_len is not None:
+        # eLensUnits::FLength (reference Types.h:67): derive the vertical
+        # fov from focal length + sensor height (same length units)
+        fov = math.degrees(
+            2.0 * math.atan(0.5 * sensor_height / float(focal_len))
+        )
     focus_distance = max(float(focus_distance), 0.0)
     focal_length = 0.5 * sensor_height / math.tan(0.5 * math.radians(float(fov)))
 

@@ -145,6 +145,7 @@ def pack_lights(descs: list, tri_areas=None) -> dict:
              else (0.0, 0.0, 0.0) for d in descs], np.float32,
         ),
         "doublesided": np.array([d.doublesided for d in descs], np.bool_),
+        "portal": np.array([d.sky_portal for d in descs], np.bool_),
         "cast_shadow": np.array([d.cast_shadow for d in descs], np.bool_),
         "visible": np.array([d.visible for d in descs], np.bool_),
         "multiple_importance": np.array(

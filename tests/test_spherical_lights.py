@@ -200,3 +200,56 @@ def test_nee_irradiance_matches_area_sampling(kind):
 
     assert bool(jnp.all(ok))
     assert abs(est_sph - est_area) / est_area < 0.02
+
+
+def test_sky_portal_light():
+    """A rect sky portal emits the environment seen through it (reference
+    CoreRef.cpp:3406-3419): NEE through the portal must pick up env_col."""
+    import jax.numpy as jnp
+
+    from ray_tpu.render.light_sampling import sample_light_source
+    from ray_tpu.scene.lights import LightDesc, LightType
+    from ray_tpu.scene.materials import MaterialDesc, ShadingNode
+    from ray_tpu.scene.scene import Scene
+
+    def build(portal):
+        sc = Scene()
+        sc.add_material(MaterialDesc(type=ShadingNode.DIFFUSE))
+        sc.add_mesh(vertices=[[-9, -1, -9], [9, -1, -9], [9, -1, 9]],
+                    indices=[[0, 1, 2]], material=0)
+        sc.add_light(LightDesc(
+            type=LightType.RECT, color=(1.0, 1.0, 1.0),
+            position=(0, 2, 0), axis_u=(1, 0, 0), axis_v=(0, 0, 1),
+            width=1.0, height=1.0, sky_portal=portal,
+        ))
+        sc.set_environment((2.0, 4.0, 8.0))
+        return sc.finalize(light_tree_min_lights=99)
+
+    P = jnp.zeros((64, 3), jnp.float32)
+    T = jnp.tile(jnp.asarray([[1.0, 0, 0]], jnp.float32), (64, 1))
+    B = jnp.tile(jnp.asarray([[0, 0, 1.0]], jnp.float32), (64, 1))
+    N = jnp.tile(jnp.asarray([[0, 1.0, 0]], jnp.float32), (64, 1))
+    r = jnp.linspace(0.01, 0.49, 64)  # always picks the rect (2 lights)
+    uv = jnp.stack([r, 1.0 - r], -1)
+
+    cols = {}
+    for portal in (False, True):
+        scene = build(portal)
+        ls = sample_light_source(scene, P, T, B, N, r * 0.0 + 0.1, uv)
+        m = np.asarray(ls.pdf) > 0
+        # portal rows must be tinted by env (2,4,8); plain rect stays white
+        cols[portal] = np.asarray(ls.col)[m]
+    ratio = cols[True] / np.maximum(cols[False], 1e-9)
+    np.testing.assert_allclose(
+        ratio, np.broadcast_to([2.0, 4.0, 8.0], ratio.shape), rtol=1e-5
+    )
+
+
+def test_focal_length_lens_units():
+    from ray_tpu.scene.camera import make_camera
+
+    # 50mm lens on a 36mm-tall sensor → fov = 2·atan(18/50) ≈ 39.6°
+    cam = make_camera(origin=(0, 0, 0), fwd=(0, 0, 1),
+                      sensor_height=0.036, focal_len=0.050)
+    assert abs(float(cam.fov) - 39.6) < 0.1
+    assert abs(float(cam.focal_length) - 0.050) < 1e-6
