@@ -154,22 +154,22 @@ def _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf, stack_size,
         is_leaf = (cur < 0) & (cur != _EMPTY)
         node = jnp.where(is_node, cur, 0)
 
-        # ---- internal: test both children (ONE packed-row gather) ----
-        nrow = bvh["packed"][node]  # (R, 14)
+        # ---- internal: test both children — one packed-row gather,
+        # transposed so each field is a contiguous (R,) row (column slices
+        # of the 128-lane-padded gather output relayout per column) ----
+        nrow = bvh["packed"][node].T  # (14, R)
         h0, t0 = _aabb_c(
             ox, oy, oz, ix, iy, iz,
-            nrow[:, 0], nrow[:, 1], nrow[:, 2],
-            nrow[:, 3], nrow[:, 4], nrow[:, 5],
+            nrow[0], nrow[1], nrow[2], nrow[3], nrow[4], nrow[5],
             t_min, hit.t,
         )
         h1, t1 = _aabb_c(
             ox, oy, oz, ix, iy, iz,
-            nrow[:, 6], nrow[:, 7], nrow[:, 8],
-            nrow[:, 9], nrow[:, 10], nrow[:, 11],
+            nrow[6], nrow[7], nrow[8], nrow[9], nrow[10], nrow[11],
             t_min, hit.t,
         )
-        c0 = jax.lax.bitcast_convert_type(nrow[:, 12], jnp.int32)
-        c1 = jax.lax.bitcast_convert_type(nrow[:, 13], jnp.int32)
+        c0 = jax.lax.bitcast_convert_type(nrow[12], jnp.int32)
+        c1 = jax.lax.bitcast_convert_type(nrow[13], jnp.int32)
         near_is_0 = t0 <= t1
         near_code = jnp.where(near_is_0, c0, c1)
         far_code = jnp.where(near_is_0, c1, c0)
@@ -197,12 +197,11 @@ def _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf, stack_size,
                 # per-ray-type visibility (reference mesh_instance_t
                 # ray_visibility test, internal/CoreRef.cpp:1890+)
                 valid = valid & ((tri_vis[tri] & ray_mask) != 0)
-            trow = tris["packed"][tri]  # (R, 9) — one gather per leaf slot
+            trow = tris["packed"][tri].T  # (9, R) — one gather per slot
             th, tt, tu, tv, tb = _tri_c(
                 ox, oy, oz, dx, dy, dz,
-                trow[:, 0], trow[:, 1], trow[:, 2],
-                trow[:, 3], trow[:, 4], trow[:, 5],
-                trow[:, 6], trow[:, 7], trow[:, 8],
+                trow[0], trow[1], trow[2], trow[3], trow[4], trow[5],
+                trow[6], trow[7], trow[8],
                 t_min, t_max if any_hit else t_best,
             )
             take = th & valid
@@ -663,22 +662,20 @@ def _traverse_tlas(nodes, tris, inst, ro, rd, t_min, t_max, active, ray_mask,
         node = jnp.where(is_node, cur, 0)
 
         # ---- internal node (TLAS or BLAS — same columns, current-space
-        # ray): ONE packed-row gather per step ----
-        nrow = nodes["packed"][node]  # (R, 14)
+        # ray): one packed-row gather, transposed for contiguous rows ----
+        nrow = nodes["packed"][node].T  # (14, R)
         h0, t0 = _aabb_c(
             ox, oy, oz, ix, iy, iz,
-            nrow[:, 0], nrow[:, 1], nrow[:, 2],
-            nrow[:, 3], nrow[:, 4], nrow[:, 5],
+            nrow[0], nrow[1], nrow[2], nrow[3], nrow[4], nrow[5],
             t_min, hit.t,
         )
         h1, t1 = _aabb_c(
             ox, oy, oz, ix, iy, iz,
-            nrow[:, 6], nrow[:, 7], nrow[:, 8],
-            nrow[:, 9], nrow[:, 10], nrow[:, 11],
+            nrow[6], nrow[7], nrow[8], nrow[9], nrow[10], nrow[11],
             t_min, hit.t,
         )
-        c0 = jax.lax.bitcast_convert_type(nrow[:, 12], jnp.int32)
-        c1 = jax.lax.bitcast_convert_type(nrow[:, 13], jnp.int32)
+        c0 = jax.lax.bitcast_convert_type(nrow[12], jnp.int32)
+        c1 = jax.lax.bitcast_convert_type(nrow[13], jnp.int32)
         near_is_0 = t0 <= t1
         near_code = jnp.where(near_is_0, c0, c1)
         far_code = jnp.where(near_is_0, c1, c0)
@@ -726,12 +723,11 @@ def _traverse_tlas(nodes, tris, inst, ro, rd, t_min, t_max, active, ray_mask,
         for k in range(max_leaf):
             valid = is_tri & (k < count)
             tri = jnp.where(valid, first + k, 0)
-            trow = tris["packed"][tri]  # (R, 9) — one gather per leaf slot
+            trow = tris["packed"][tri].T  # (9, R) — one gather per slot
             th, tt, tu, tv, tb = _tri_c(
                 ox, oy, oz, dx, dy, dz,
-                trow[:, 0], trow[:, 1], trow[:, 2],
-                trow[:, 3], trow[:, 4], trow[:, 5],
-                trow[:, 6], trow[:, 7], trow[:, 8],
+                trow[0], trow[1], trow[2], trow[3], trow[4], trow[5],
+                trow[6], trow[7], trow[8],
                 t_min, t_max if any_hit else t_best,
             )
             take = th & valid
