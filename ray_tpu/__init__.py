@@ -27,6 +27,7 @@ from ray_tpu.scene.lights import LightDesc
 from ray_tpu.render.renderer import Renderer, RenderSettings, RegionContext
 from ray_tpu.render.integrator import PassSettings
 from ray_tpu.render.tonemap import ViewTransform
+from ray_tpu.scene.scene_io import load_scene, save_scene
 from ray_tpu.api import (
     DeviceInfo,
     ILog,
@@ -64,5 +65,7 @@ __all__ = [
     "match_device_names",
     "query_available_devices",
     "version",
+    "save_scene",
+    "load_scene",
     "__version__",
 ]
