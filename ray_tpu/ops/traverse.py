@@ -238,17 +238,19 @@ def _traverse_wide(wn, ro, rd, t_min, t_max, active, max_leaf, stack_size,
                    any_hit, has_vis=False, ray_mask=None):
     """8-wide wavefront traversal over the wbvh (scene/wbvh.py) — the TPU
     analogue of the reference's wbvh path (Traverse_TLAS_WithStack over
-    wbvh_node_t, CoreRef.cpp:2027).  One row gather per step fetches all 8
-    children; leaf visits fetch one padded leaf-group row.  The stack holds
-    ``node<<8|mask`` resume codes — a pop re-enters the node-visit branch
-    with the remaining-children mask, so multi-hit nodes never need a
-    second stack slot."""
+    wbvh_node_t, CoreRef.cpp:2027).  Nodes and padded leaf groups live in
+    ONE row table, so every step is exactly one row gather — the gathered
+    row is interpreted as 8 child AABBs or as ≤ max_leaf inlined triangles
+    by the visit code (two separate tables cost two full gathers per step,
+    one of them always wasted).  The stack holds ``node<<8|mask`` resume
+    codes — a pop re-enters the node-visit branch with the
+    remaining-children mask, so multi-hit nodes never need a second stack
+    slot."""
     R = ro.shape[0]
     ox, oy, oz = ro[:, 0], ro[:, 1], ro[:, 2]
     dx, dy, dz = rd[:, 0], rd[:, 1], rd[:, 2]
     ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
-    nodes = wn["nodes"]
-    leaves = wn["leaves"]
+    rows = wn["wrows"]
 
     s_iota = jnp.arange(stack_size, dtype=jnp.int32)[:, None]
     stack0 = jnp.full((stack_size, R), _EMPTY, jnp.int32)
@@ -273,13 +275,15 @@ def _traverse_wide(wn, ro, rd, t_min, t_max, active, max_leaf, stack_size,
         node = jnp.where(is_node, cur >> 8, 0)
         mask = jnp.where(is_node, cur & 0xFF, 0)
 
-        # ---- wide-node visit: one (R, 56) gather, then the whole 8-child
-        # slab test as ONE pass of (8, R) tile math (child-SoA layout,
-        # scene/wbvh.py) — per-child scalar passes cost ~8× more ----
-        nrow = nodes[node].T            # (56, R)
-        lox, loy, loz = nrow[0:8], nrow[8:16], nrow[16:24]
-        hix, hiy, hiz = nrow[24:32], nrow[32:40], nrow[40:48]
-        codes8 = jax.lax.bitcast_convert_type(nrow[48:56], jnp.int32)
+        # ---- THE gather: one unified row per lane per step ----
+        ridx = jnp.where(is_node, node, jnp.where(is_leaf, -cur - 1, 0))
+        row = rows[ridx].T              # (W, R)
+
+        # ---- wide-node interpretation: the whole 8-child slab test as ONE
+        # pass of (8, R) tile math (child-SoA layout, scene/wbvh.py) ----
+        lox, loy, loz = row[0:8], row[8:16], row[16:24]
+        hix, hiy, hiz = row[24:32], row[32:40], row[40:48]
+        codes8 = jax.lax.bitcast_convert_type(row[48:56], jnp.int32)
 
         i8 = jnp.arange(8, dtype=jnp.int32)[:, None]           # (8, 1)
         in_mask = ((mask[None, :] >> i8) & 1) != 0             # (8, R)
@@ -307,24 +311,22 @@ def _traverse_wide(wn, ro, rd, t_min, t_max, active, max_leaf, stack_size,
         sp = sp + push.astype(jnp.int32)
         from_node = jnp.where(is_node & hit_any, best_code, _EMPTY)
 
-        # ---- leaf visit: one gather, all max_leaf triangles as one
+        # ---- leaf interpretation: all max_leaf triangles as one
         # (max_leaf, R) Möller-Trumbore pass (slot-SoA layout) ----
-        group = jnp.where(is_leaf, -cur - 1, 0)
-        grow = leaves[group].T          # (W, R)
         L = max_leaf
         th, tt, tu, tv, tb = _tri_c(
             ox[None, :], oy[None, :], oz[None, :],
             dx[None, :], dy[None, :], dz[None, :],
-            grow[0:L], grow[L:2 * L], grow[2 * L:3 * L],
-            grow[3 * L:4 * L], grow[4 * L:5 * L], grow[5 * L:6 * L],
-            grow[6 * L:7 * L], grow[7 * L:8 * L], grow[8 * L:9 * L],
+            row[0:L], row[L:2 * L], row[2 * L:3 * L],
+            row[3 * L:4 * L], row[4 * L:5 * L], row[5 * L:6 * L],
+            row[6 * L:7 * L], row[7 * L:8 * L], row[8 * L:9 * L],
             t_min[None, :], (t_max if any_hit else hit.t)[None, :],
         )
-        prim4 = jax.lax.bitcast_convert_type(grow[9 * L:10 * L], jnp.int32)
+        prim4 = jax.lax.bitcast_convert_type(row[9 * L:10 * L], jnp.int32)
         valid4 = is_leaf[None, :] & (prim4 >= 0)
         if has_vis:
             vis4 = jax.lax.bitcast_convert_type(
-                grow[10 * L:11 * L], jnp.int32
+                row[10 * L:11 * L], jnp.int32
             )
             valid4 = valid4 & ((vis4 & ray_mask[None, :]) != 0)
         hit4 = th & valid4
@@ -412,13 +414,11 @@ def trace_closest_soa(bvh, tris, ro, rd, t_min, t_max, active,
       tri_vis/ray_mask: optional (T,)/(R,) i32 per-ray-type visibility —
         triangles whose mask shares no bit with the ray's are skipped.
     """
-    wide = "wnodes" in bvh
-    wide_vis = wide and bvh["wleaves"].shape[1] == max_leaf * 11
+    wide = "wrows" in bvh
     if tri_vis is not None:
-        if wide_vis:
+        if wide:
             hit = _traverse_wide(
-                {"nodes": bvh["wnodes"], "leaves": bvh["wleaves"]},
-                ro, rd, t_min, t_max, active, max_leaf, stack_size,
+                bvh, ro, rd, t_min, t_max, active, max_leaf, stack_size,
                 any_hit=False, has_vis=True, ray_mask=ray_mask,
             )
         else:
@@ -445,8 +445,7 @@ def trace_closest_soa(bvh, tris, ro, rd, t_min, t_max, active,
                                max_leaf=max_leaf, stack_size=stack_size)
     elif wide:
         hit = _traverse_wide(
-            {"nodes": bvh["wnodes"], "leaves": bvh["wleaves"]},
-            ro, rd, t_min, t_max, active, max_leaf, stack_size,
+            bvh, ro, rd, t_min, t_max, active, max_leaf, stack_size,
             any_hit=False,
         )
     else:
@@ -471,13 +470,11 @@ def trace_occlusion_soa(bvh, tris, ro, rd, t_min, t_max, active,
     (internal/CoreRef.cpp:2135).  Alpha-tested/transparent occluders are
     handled a level up (shade stage); this kernel treats triangles as solid.
     """
-    wide = "wnodes" in bvh
-    wide_vis = wide and bvh["wleaves"].shape[1] == max_leaf * 11
+    wide = "wrows" in bvh
     if tri_vis is not None:
-        if wide_vis:
+        if wide:
             hit = _traverse_wide(
-                {"nodes": bvh["wnodes"], "leaves": bvh["wleaves"]},
-                ro, rd, t_min, t_max, active, max_leaf, stack_size,
+                bvh, ro, rd, t_min, t_max, active, max_leaf, stack_size,
                 any_hit=True, has_vis=True, ray_mask=ray_mask,
             )
         else:
@@ -501,8 +498,8 @@ def trace_occlusion_soa(bvh, tris, ro, rd, t_min, t_max, active,
         return hit.prim >= 0
     if wide:
         hit = _traverse_wide(
-            {"nodes": bvh["wnodes"], "leaves": bvh["wleaves"]},
-            ro, rd, t_min, t_max, active, max_leaf, stack_size, any_hit=True,
+            bvh, ro, rd, t_min, t_max, active, max_leaf, stack_size,
+            any_hit=True,
         )
         return hit.prim >= 0
     hit = _traverse(bvh, tris, ro, rd, t_min, t_max, active, max_leaf,

@@ -454,11 +454,16 @@ def _pad_tables(bvh_soa, tri_soa, node_segs, tri_segs):
 
 
 def trace_bvh_pallas(bvh_soa, tri_soa, ro, rd, t_min, t_max, active, *,
-                     max_leaf, stack_size, any_hit=False, block_rows=256):
+                     max_leaf, stack_size, any_hit=False, block_rows=None):
     """Stack-based BVH2 traversal fully in VMEM.  Scene node/triangle columns
     are packed into 128-entry gather segments; rays stream through in
     (block_rows × 128)-lane blocks, each exiting its while-loop as soon as
-    every ray in the block is done."""
+    every ray in the block is done.  Default block size shrinks with
+    ``max_leaf``: the unrolled leaf loop's live temporaries scale the
+    kernel's scoped-VMEM stack, and fat-8 leaves at 256 rows exceed the
+    16 MB limit (measured 21.3 MB)."""
+    if block_rows is None:
+        block_rows = 256 if max_leaf <= 4 else 128
     sg = jax.lax.stop_gradient
     ro, rd, t_min, t_max = sg(ro), sg(rd), sg(t_min), sg(t_max)
     bvh_soa = jax.tree_util.tree_map(sg, bvh_soa)

@@ -67,7 +67,7 @@ NATIVE_BUILDER_THRESHOLD = 8192  # prims; below this numpy is fast enough
 
 def build_bvh2(
     tri_lo: np.ndarray, tri_hi: np.ndarray, max_leaf: int = 4,
-    use_native: str = "auto",
+    use_native: str = "auto", fat_leaves: bool = False,
 ) -> BVH2:
     """Build a binary SAH BVH over primitives with AABBs [tri_lo, tri_hi].
 
@@ -75,6 +75,12 @@ def build_bvh2(
     primitive order.  ``use_native``: 'auto' uses the C++ builder
     (scene/native) for big scenes when a toolchain is available, 'never'
     forces numpy, 'always' requires native.
+
+    ``fat_leaves``: stop splitting as soon as a node fits ``max_leaf``
+    primitives.  The classic SAH (reference BVHSplit.cpp) charges leaves
+    per-triangle, which splits down to 1-2 tri leaves; on TPU a wide-BVH
+    leaf visit costs one row gather regardless of count (scene/wbvh.py), so
+    the per-visit cost model says "never split below max_leaf".
     """
     tri_lo = np.asarray(tri_lo, np.float32)
     tri_hi = np.asarray(tri_hi, np.float32)
@@ -87,7 +93,7 @@ def build_bvh2(
     ):
         from ray_tpu.scene import native
 
-        out = native.build_bvh2_native(tri_lo, tri_hi, max_leaf)
+        out = native.build_bvh2_native(tri_lo, tri_hi, max_leaf, fat_leaves)
         if out is not None:
             c_lo, c_hi, child, counts, prim, root_lo, root_hi = out
             return BVH2(
@@ -172,7 +178,9 @@ def build_bvh2(
             if best is None or cost[k] < best[0]:
                 best = (float(cost[k]), axis, k, c_lo[axis], scale)
 
-        if best is not None and (count > max_leaf or best[0] < leaf_cost):
+        if best is not None and (
+            count > max_leaf or ((not fat_leaves) and best[0] < leaf_cost)
+        ):
             _, axis, k, lo_a, scale = best
             bins = np.minimum(
                 ((cent[:, axis] - lo_a) * scale).astype(np.int32), NUM_SAH_BINS - 1

@@ -59,6 +59,7 @@ def _load():
                 ctypes.POINTER(ctypes.c_float),  # root_lo
                 ctypes.POINTER(ctypes.c_float),  # root_hi
                 ctypes.c_int,                    # capacity
+                ctypes.c_int,                    # fat_leaves
             ]
             _LIB = lib
         except Exception:
@@ -70,7 +71,8 @@ def available() -> bool:
     return _load() is not None
 
 
-def build_bvh2_native(tri_lo: np.ndarray, tri_hi: np.ndarray, max_leaf: int):
+def build_bvh2_native(tri_lo: np.ndarray, tri_hi: np.ndarray, max_leaf: int,
+                      fat_leaves: bool = False):
     """Run the C++ builder; returns the same tuple layout the numpy builder
     packs into :class:`ray_tpu.scene.bvh.BVH2`, or None on failure."""
     lib = _load()
@@ -98,7 +100,7 @@ def build_bvh2_native(tri_lo: np.ndarray, tri_hi: np.ndarray, max_leaf: int):
         ptr(child, ctypes.c_int32), ptr(counts, ctypes.c_int32),
         ptr(prim, ctypes.c_int32),
         ptr(root_lo, ctypes.c_float), ptr(root_hi, ctypes.c_float),
-        cap,
+        cap, int(bool(fat_leaves)),
     )
     if n_slots < 0:
         return None

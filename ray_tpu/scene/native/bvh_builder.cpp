@@ -49,6 +49,9 @@ struct Builder {
   std::vector<Vec3> centroid;
   std::vector<int32_t> order;
   int max_leaf;
+  // stop splitting once a node fits max_leaf prims (TPU per-visit leaf cost
+  // model — a wide-BVH leaf visit costs one gather regardless of count)
+  bool fat_leaves;
 
   // output slots
   std::vector<float> child_lo;   // n_slots * 2 * 3
@@ -159,7 +162,8 @@ struct Builder {
       }
     }
 
-    if (best_axis >= 0 && (count > max_leaf || best_cost < leaf_cost)) {
+    if (best_axis >= 0 &&
+        (count > max_leaf || (!fat_leaves && best_cost < leaf_cost))) {
       auto pred = [&](int32_t p) {
         int b = static_cast<int>(
             (axis_of(centroid[p], best_axis) - best_lo_a) * best_scale);
@@ -250,11 +254,12 @@ int ray_tpu_build_bvh2(const float *tri_lo, const float *tri_hi, int n,
                        int max_leaf, float *out_child_lo, float *out_child_hi,
                        int32_t *out_child, int32_t *out_counts,
                        int32_t *out_prim_indices, float *out_root_lo,
-                       float *out_root_hi, int capacity) {
+                       float *out_root_hi, int capacity, int fat_leaves) {
   Builder b;
   b.lo = reinterpret_cast<const Vec3 *>(tri_lo);
   b.hi = reinterpret_cast<const Vec3 *>(tri_hi);
   b.max_leaf = max_leaf;
+  b.fat_leaves = fat_leaves != 0;
   b.centroid.resize(n);
   b.order.resize(n);
   for (int i = 0; i < n; ++i) {

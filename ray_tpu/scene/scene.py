@@ -144,8 +144,7 @@ def _bvh_soa_with_wide(bvh, tri_soa, tri_vis=None, min_tris: int = 256):
         from ray_tpu.scene.wbvh import build_wbvh
 
         wb = build_wbvh(bvh, tri_soa["packed"], tri_vis)
-        out["wnodes"] = wb["nodes"]
-        out["wleaves"] = wb["leaves"]
+        out["wrows"] = wb["wrows"]
     return out
 
 
@@ -333,7 +332,8 @@ class Scene:
         return params
 
     # -- finalize ----------------------------------------------------------
-    def finalize(self, max_leaf: int = 4, light_tree_min_lights: int = 5,
+    def finalize(self, max_leaf: int | None = None,
+                 light_tree_min_lights: int = 5,
                  instancing: str = "auto",
                  fast_build: bool = False) -> SceneFlat:
         """Compile to a SceneFlat (the analogue of Scene::Finalize,
@@ -347,6 +347,14 @@ class Scene:
         over instance AABBs — the memory-scaling choice for heavy
         instancing.  'auto' picks 'tlas' iff some mesh is instanced more
         than once.
+
+        ``max_leaf`` defaults per structure: 8 for the flatten/wide path
+        (a wide-BVH leaf visit costs one row gather regardless of count —
+        the reference's min_prims_in_leaf is also 8, Core.h:241), 4 for
+        the two-level TLAS path (binary leaf loops pay per slot).  BVHs
+        are built with fat leaves (never split below max_leaf) — measured
+        4.3× faster tracing at 437k tris than the classic per-triangle
+        SAH leaf cost (scripts/exp_leaf.py).
         """
         from ray_tpu.scene.visibility import RAY_ALL
 
@@ -361,10 +369,12 @@ class Scene:
         assert instancing in ("flatten", "tlas"), instancing
         if instancing == "tlas":
             return self._finalize_tlas(
-                max_leaf, light_tree_min_lights, has_vis, fast_build
+                max_leaf if max_leaf is not None else 4,
+                light_tree_min_lights, has_vis, fast_build
             )
         return self._finalize_flatten(
-            max_leaf, light_tree_min_lights, has_vis, fast_build
+            max_leaf if max_leaf is not None else 8,
+            light_tree_min_lights, has_vis, fast_build
         )
 
     def _material_solidity(self) -> np.ndarray:
@@ -462,7 +472,7 @@ class Scene:
 
             bvh = build_hlbvh(lo, hi, max_leaf=max_leaf)
         else:
-            bvh = build_bvh2(lo, hi, max_leaf=max_leaf)
+            bvh = build_bvh2(lo, hi, max_leaf=max_leaf, fat_leaves=True)
         perm = bvh.prim_indices
         tri_vidx = tri_vidx[perm]
         tri_mats = tri_mats[perm]
@@ -553,7 +563,10 @@ class Scene:
         for mi in mesh_used:
             m = meshes[mi]
             lo, hi = tri_bounds(m.vertices, m.indices)
-            blas[mi] = _build(lo, hi, max_leaf=max_leaf)
+            if fast_build:
+                blas[mi] = _build(lo, hi, max_leaf=max_leaf)
+            else:
+                blas[mi] = _build(lo, hi, max_leaf=max_leaf, fat_leaves=True)
 
         # --- concatenated object-space geometry in BLAS leaf order ---
         verts, norms, uvs, tris, tri_mat = [], [], [], [], []

@@ -44,14 +44,18 @@ def test_wbvh_structure():
     b = build_bvh2(lo, hi, max_leaf=4, use_native="never")
     soa = pack_tri_soa(verts, idx[b.prim_indices])
     wb = build_wbvh(b, soa["packed"])
-    assert wb["nodes"].shape[1] == 56
-    assert wb["n_leaf_cols"] == 40
+    rows = wb["wrows"]
+    assert rows.shape[1] == 56  # max(56, 11*max_leaf) for max_leaf=4
+    codes_all = rows[:, 48:56].view(np.int32)
+    # node rows come first: find the node/leaf boundary from child codes
+    leaf_refs = codes_all[(codes_all < 0) & (codes_all != EMPTY)]
+    n_nodes = int((-leaf_refs - 1).min())
     # every leaf-order prim appears exactly once across leaf groups
-    prims = wb["leaves"][:, 36:40].view(np.int32).reshape(-1)
+    prims = rows[n_nodes:, 36:40].view(np.int32).reshape(-1)
     prims = prims[prims >= 0]
     assert sorted(prims.tolist()) == list(range(500))
     # wide nodes average >2 used children (the collapse actually widened)
-    codes = wb["nodes"][:, 48:56].view(np.int32)
+    codes = rows[:n_nodes, 48:56].view(np.int32)
     used = (codes != EMPTY).sum(axis=1)
     assert used.mean() > 2.5
 
@@ -62,7 +66,7 @@ def test_wide_hits_match_brute():
     b = build_bvh2(lo, hi, max_leaf=4, use_native="never")
     soa = pack_tri_soa(verts, idx[b.prim_indices])
     wb = build_wbvh(b, soa["packed"])
-    wn = {"nodes": jnp.asarray(wb["nodes"]), "leaves": jnp.asarray(wb["leaves"])}
+    wn = {"wrows": jnp.asarray(wb["wrows"])}
 
     R = 2048
     ro, rd = _rays(R, verts, idx)
@@ -99,14 +103,14 @@ def test_wide_hits_match_brute():
 
 def test_wide_dispatch_in_trace_soa():
     """Scenes above the wide threshold route through _traverse_wide via the
-    'wnodes' key and agree with the bvh2 wavefront."""
+    'wrows' key and agree with the bvh2 wavefront."""
     verts, idx = _soup(600)
     lo, hi = tri_bounds(verts, idx)
     b = build_bvh2(lo, hi, max_leaf=4, use_native="never")
     soa = pack_tri_soa(verts, idx[b.prim_indices])
     bvh = pack_bvh_soa(b)
     wb = build_wbvh(b, soa["packed"])
-    bvh_w = dict(bvh, wnodes=wb["nodes"], wleaves=wb["leaves"])
+    bvh_w = dict(bvh, wrows=wb["wrows"])
 
     R = 1024
     ro, rd = _rays(R, verts, idx)
@@ -140,7 +144,7 @@ def test_wide_visibility_masks():
     # half the tris visible only to bit 1, half to bit 2 (leaf order)
     tri_vis = np.where(np.arange(400) % 2 == 0, 1, 2).astype(np.int32)
     wb = build_wbvh(b, soa["packed"], tri_vis)
-    bvh_w = dict(pack_bvh_soa(b), wnodes=wb["nodes"], wleaves=wb["leaves"])
+    bvh_w = dict(pack_bvh_soa(b), wrows=wb["wrows"])
 
     R = 1024
     ro, rd = _rays(R, verts, idx)
