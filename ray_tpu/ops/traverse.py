@@ -368,6 +368,178 @@ def _traverse_wide(wn, ro, rd, t_min, t_max, active, max_leaf, stack_size,
     return hit
 
 
+def _traverse_wide_tlas(wn, ro, rd, t_min, t_max, active, ray_mask,
+                        max_leaf, stack_size, any_hit):
+    """Wide two-level TLAS/BLAS traversal over the unified row table built
+    by scene/wbvh.py ``build_wtlas``.  Same single-gather-per-step design
+    as :func:`_traverse_wide`; additionally a TLAS leaf is an *instance
+    row* carrying the object-from-world transform, per-ray-type visibility
+    and the mesh's BLAS root code.  Entering an instance pushes a RESTORE
+    marker and rewrites the lane's current-space ray; LIFO order guarantees
+    the marker pops after the BLAS finishes.  Object-space directions stay
+    unnormalized so t is world-metric in both spaces (same invariant as the
+    binary ``_traverse_tlas``)."""
+    from ray_tpu.scene.wbvh import INST_ROW_BIT
+
+    R = ro.shape[0]
+    wox, woy, woz = ro[:, 0], ro[:, 1], ro[:, 2]
+    wdx, wdy, wdz = rd[:, 0], rd[:, 1], rd[:, 2]
+    wix, wiy, wiz = _safe_inv(wdx), _safe_inv(wdy), _safe_inv(wdz)
+    if ray_mask is None:
+        ray_mask = jnp.full((R,), 0x7fffffff, jnp.int32)
+    rows = wn["wrows_tlas"]
+
+    s_iota = jnp.arange(stack_size, dtype=jnp.int32)[:, None]
+    stack0 = jnp.full((stack_size, R), _EMPTY, jnp.int32)
+    sp0 = jnp.zeros((R,), jnp.int32)
+    cur0 = jnp.where(active, jnp.int32(0xFF), _EMPTY)  # TLAS root, full mask
+
+    hit0 = HitInst(
+        t=jnp.asarray(t_max, jnp.float32),
+        prim=jnp.full((R,), -1, jnp.int32),
+        u=jnp.zeros((R,), jnp.float32),
+        v=jnp.zeros((R,), jnp.float32),
+        backface=jnp.zeros((R,), jnp.bool_),
+        inst=jnp.full((R,), -1, jnp.int32),
+    )
+
+    def cond(state):
+        return jnp.any(state[2] != _EMPTY)
+
+    def body(state):
+        (stack, sp, cur, cur_inst,
+         ox, oy, oz, dx, dy, dz, ix, iy, iz, hit) = state
+        is_node = cur >= 0
+        neg = (cur < 0) & (cur != _EMPTY) & (cur != _RESTORE)
+        is_restore = cur == _RESTORE
+        v = jnp.where(neg, -cur - 1, 0)
+        is_inst = neg & ((v & INST_ROW_BIT) != 0)
+        is_tri = neg & (~is_inst)
+        node = jnp.where(is_node, cur >> 8, 0)
+        mask = jnp.where(is_node, cur & 0xFF, 0)
+
+        # ---- THE gather: one unified row per lane per step ----
+        ridx = jnp.where(is_node, node, v & (INST_ROW_BIT - 1))
+        row = rows[ridx].T              # (W, R)
+
+        # ---- wide-node interpretation (current-space ray) ----
+        lox, loy, loz = row[0:8], row[8:16], row[16:24]
+        hix, hiy, hiz = row[24:32], row[32:40], row[40:48]
+        codes8 = jax.lax.bitcast_convert_type(row[48:56], jnp.int32)
+        i8 = jnp.arange(8, dtype=jnp.int32)[:, None]
+        in_mask = ((mask[None, :] >> i8) & 1) != 0
+        h8, t8 = _aabb_c(
+            ox[None, :], oy[None, :], oz[None, :],
+            ix[None, :], iy[None, :], iz[None, :],
+            lox, loy, loz, hix, hiy, hiz,
+            t_min[None, :], hit.t[None, :],
+        )
+        ok8 = h8 & in_mask & (codes8 != _EMPTY) & is_node[None, :]
+        t8m = jnp.where(ok8, t8, jnp.inf)
+        best_i = jnp.argmin(t8m, axis=0).astype(jnp.int32)
+        hit_any = jnp.any(ok8, axis=0)
+        onehot = i8 == best_i[None, :]
+        best_code = jnp.sum(jnp.where(onehot, codes8, 0), axis=0)
+        rem = jnp.sum(
+            jnp.where(ok8 & (~onehot), jnp.int32(1) << i8, 0), axis=0
+        )
+        resume = (node << 8) | rem
+        push_node = is_node & hit_any & (rem != 0)
+        from_node = jnp.where(is_node & hit_any, best_code, _EMPTY)
+
+        # ---- instance-row interpretation: visibility + enter BLAS ----
+        ivis = jax.lax.bitcast_convert_type(row[12], jnp.int32)
+        iroot = jax.lax.bitcast_convert_type(row[13], jnp.int32)
+        enter = is_inst & ((ivis & ray_mask) != 0)
+        eox = row[0] * wox + row[1] * woy + row[2] * woz + row[9]
+        eoy = row[3] * wox + row[4] * woy + row[5] * woz + row[10]
+        eoz = row[6] * wox + row[7] * woy + row[8] * woz + row[11]
+        edx = row[0] * wdx + row[1] * wdy + row[2] * wdz
+        edy = row[3] * wdx + row[4] * wdy + row[5] * wdz
+        edz = row[6] * wdx + row[7] * wdy + row[8] * wdz
+        ii = v & (INST_ROW_BIT - 1)  # instance ROW index; id fixed below
+
+        # ---- push: node resume or RESTORE marker ----
+        push = push_node | enter
+        push_val = jnp.where(enter, _RESTORE, resume)
+        stack = jnp.where((s_iota == sp[None, :]) & push[None, :],
+                          push_val[None, :], stack)
+        sp = sp + push.astype(jnp.int32)
+
+        # ---- current-space ray update (enter → object, restore → world) --
+        ox = jnp.where(enter, eox, jnp.where(is_restore, wox, ox))
+        oy = jnp.where(enter, eoy, jnp.where(is_restore, woy, oy))
+        oz = jnp.where(enter, eoz, jnp.where(is_restore, woz, oz))
+        dx = jnp.where(enter, edx, jnp.where(is_restore, wdx, dx))
+        dy = jnp.where(enter, edy, jnp.where(is_restore, wdy, dy))
+        dz = jnp.where(enter, edz, jnp.where(is_restore, wdz, dz))
+        ix = jnp.where(enter, _safe_inv(edx), jnp.where(is_restore, wix, ix))
+        iy = jnp.where(enter, _safe_inv(edy), jnp.where(is_restore, wiy, iy))
+        iz = jnp.where(enter, _safe_inv(edz), jnp.where(is_restore, wiz, iz))
+        cur_inst = jnp.where(enter, ii, cur_inst)
+
+        # ---- tri-leaf interpretation (object-space ray, world-metric t) --
+        L = max_leaf
+        th, tt, tu, tv, tb = _tri_c(
+            ox[None, :], oy[None, :], oz[None, :],
+            dx[None, :], dy[None, :], dz[None, :],
+            row[0:L], row[L:2 * L], row[2 * L:3 * L],
+            row[3 * L:4 * L], row[4 * L:5 * L], row[5 * L:6 * L],
+            row[6 * L:7 * L], row[7 * L:8 * L], row[8 * L:9 * L],
+            t_min[None, :], (t_max if any_hit else hit.t)[None, :],
+        )
+        prim4 = jax.lax.bitcast_convert_type(row[9 * L:10 * L], jnp.int32)
+        hit4 = th & is_tri[None, :] & (prim4 >= 0)
+        tt4 = jnp.where(hit4, tt, jnp.inf)
+        k_best = jnp.argmin(tt4, axis=0).astype(jnp.int32)
+        koh = jnp.arange(L, dtype=jnp.int32)[:, None] == k_best[None, :]
+
+        def pick(a, fill):
+            return jnp.sum(jnp.where(koh, a, fill), axis=0)
+
+        any4 = jnp.any(hit4, axis=0)
+        lt = pick(tt4, 0.0)
+        take = any4 & (lt < hit.t)
+        t_best = jnp.where(take, lt, hit.t)
+        prim_best = jnp.where(take, pick(prim4, 0), hit.prim)
+        u_best = jnp.where(take, pick(tu, 0.0), hit.u)
+        v_best = jnp.where(take, pick(tv, 0.0), hit.v)
+        bf_best = jnp.where(take, jnp.any(koh & tb, axis=0), hit.backface)
+        inst_best = jnp.where(take, cur_inst, hit.inst)
+
+        next_cur = jnp.where(
+            is_node, from_node, jnp.where(enter, iroot, _EMPTY)
+        )
+        if any_hit:
+            done = prim_best >= 0
+            sp = jnp.where(done, 0, sp)
+            next_cur = jnp.where(done, _EMPTY, next_cur)
+
+        need_pop = (next_cur == _EMPTY) & (sp > 0)
+        top = sp - 1
+        popped = jnp.max(
+            jnp.where(s_iota == top[None, :], stack, _EMPTY), axis=0
+        )
+        next_cur = jnp.where(need_pop, popped, next_cur)
+        sp = jnp.where(need_pop, sp - 1, sp)
+
+        new_hit = HitInst(t=t_best, prim=prim_best, u=u_best, v=v_best,
+                          backface=bf_best, inst=inst_best)
+        return (stack, sp, next_cur, cur_inst,
+                ox, oy, oz, dx, dy, dz, ix, iy, iz, new_hit)
+
+    state0 = (stack0, sp0, cur0, jnp.zeros((R,), jnp.int32),
+              wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz, hit0)
+    state = jax.lax.while_loop(cond, body, state0)
+    hit = state[-1]
+    # instance ROW index → instance id (rows are [TLAS | inst | meshes],
+    # so id = row - inst_base; inst_base rides in as a static-shaped array)
+    inst_id = hit.inst - wn["winst_base"]
+    return hit._replace(
+        inst=jnp.where(hit.prim >= 0, inst_id, -1)
+    )
+
+
 # Pallas fast-path thresholds (see ops/traverse_pallas.py): brute-force all
 # triangles below _PALLAS_BRUTE_MAX (cheaper than any tree walk, no gathers);
 # VMEM-resident BVH kernel up to T_MAX_BVH nodes/tris; XLA wavefront beyond.
@@ -766,9 +938,18 @@ def _traverse_tlas(nodes, tris, inst, ro, rd, t_min, t_max, active, ray_mask,
 def trace_closest_tlas(nodes, tris, inst, ro, rd, t_min, t_max, active,
                        ray_mask=None, max_leaf: int = 4,
                        stack_size: int = MAX_STACK_SIZE):
-    """Two-level closest-hit trace.  Returns a :class:`HitInst`."""
-    hit = _traverse_tlas(nodes, tris, inst, ro, rd, t_min, t_max, active,
-                         ray_mask, max_leaf, stack_size, any_hit=False)
+    """Two-level closest-hit trace.  Returns a :class:`HitInst`.
+
+    Routes to the wide unified-table machine when the scene packed one
+    (build_wtlas); the binary machine is the fallback/spec path."""
+    if "wrows_tlas" in nodes:
+        hit = _traverse_wide_tlas(
+            nodes, ro, rd, t_min, t_max, active, ray_mask,
+            max_leaf, stack_size, any_hit=False,
+        )
+    else:
+        hit = _traverse_tlas(nodes, tris, inst, ro, rd, t_min, t_max, active,
+                             ray_mask, max_leaf, stack_size, any_hit=False)
     return HitInst(
         t=jax.lax.stop_gradient(hit.t),
         prim=hit.prim,
@@ -784,6 +965,12 @@ def trace_occlusion_tlas(nodes, tris, inst, ro, rd, t_min, t_max, active,
                          ray_mask=None, max_leaf: int = 4,
                          stack_size: int = MAX_STACK_SIZE):
     """Two-level any-hit trace: returns (R,) bool ``occluded``."""
+    if "wrows_tlas" in nodes:
+        hit = _traverse_wide_tlas(
+            nodes, ro, rd, t_min, t_max, active, ray_mask,
+            max_leaf, stack_size, any_hit=True,
+        )
+        return hit.prim >= 0
     hit = _traverse_tlas(nodes, tris, inst, ro, rd, t_min, t_max, active,
                          ray_mask, max_leaf, stack_size, any_hit=True)
     return hit.prim >= 0

@@ -673,6 +673,21 @@ class Scene:
             np.concatenate(all_child),
         )
 
+        # wide unified two-level table (scene/wbvh.py build_wtlas) for
+        # scenes past the Pallas-VMEM size — one row gather per step
+        if tri_vidx.shape[0] > 256:
+            from ray_tpu.scene.wbvh import build_wtlas, finish_wtlas
+
+            wt, mesh_root, wbase = build_wtlas(
+                tlas, tlas.prim_indices, inv.astype(np.float32), inst_vis,
+                [blas[mi] for mi in mesh_used], mesh_used, tri_base,
+                pack_tri_soa(vertices, tri_vidx)["packed"], max_leaf,
+            )
+            finish_wtlas(wt, [mi for mi, _, _ in self._instances],
+                         mesh_root, wbase)
+            nodes_soa["wrows_tlas"] = wt["wrows_tlas"]
+            nodes_soa["winst_base"] = np.int32(wbase)
+
         # --- per-instance columns for the traversal + shading transforms ---
         inst_cols = {"vis": inst_vis}
         inst_cols["blas_root"] = np.array(

@@ -49,49 +49,19 @@ def _area(lo, hi):
     return 2.0 * (e[0] * e[1] + e[1] * e[2] + e[2] * e[0])
 
 
-def build_wbvh(bvh: BVH2, tri_soa_packed: np.ndarray,
-               tri_vis: np.ndarray | None = None):
-    """Collapse a BVH2 into 8-wide nodes + padded leaf groups in one table.
-
-    ``tri_soa_packed``: (T, 9) leaf-order triangle rows (pack_tri_soa
-    "packed").  Returns dict with "wrows" (N+G, W) f32 — node rows first.
-    """
-    max_leaf = bvh.max_leaf
+def _collapse_wide(bvh: BVH2, make_leaf):
+    """Greedy 8-wide collapse of a BVH2: expand the largest-area internal
+    child until 8 slots fill.  ``make_leaf(code)`` maps a BVH2 leaf code to
+    a leaf ordinal (meaning is caller-defined).  Returns
+    (nodes, n_leaf_refs): nodes is a list of (codes[8] raw int32 — wide-node
+    ordinal if not leaf, make_leaf() result if leaf —, is_leaf[8], lo[8,3],
+    hi[8,3])."""
     child = bvh.child
     c_lo = bvh.child_lo
     c_hi = bvh.child_hi
-    width = max(NODE_COLS, 11 * max_leaf)
 
-    # --- leaf groups: one padded group per BVH2 leaf reference ---
-    leaf_rows = []
-
-    def make_leaf(code):
-        """Returns the leaf's group ordinal; final code is fixed up after
-        the node count is known (leaf rows follow node rows)."""
-        enc = -code - 1
-        first = enc >> LEAF_COUNT_BITS
-        count = enc & LEAF_COUNT_MASK
-        # slot-SoA: 9 coord fields × max_leaf slots, then prim ids + vis —
-        # contiguous (max_leaf, R) slices after the kernel transpose
-        tri9 = np.full((max_leaf, 9), np.nan, np.float32)
-        tri9[:count] = tri_soa_packed[first:first + count]
-        prims = np.full(max_leaf, -1, np.int32)
-        prims[:count] = np.arange(first, first + count, dtype=np.int32)
-        vis = np.zeros(max_leaf, np.int32)
-        vis[:count] = (
-            0x7fffffff if tri_vis is None else tri_vis[first:first + count]
-        )
-        g = len(leaf_rows)
-        row = np.zeros(width, np.float32)
-        row[:9 * max_leaf] = np.ascontiguousarray(tri9.T).reshape(-1)
-        row[9 * max_leaf:10 * max_leaf] = prims.view(np.float32)
-        row[10 * max_leaf:11 * max_leaf] = vis.view(np.float32)
-        leaf_rows.append(row)
-        return g
-
-    # --- wide nodes: greedy collapse, expand largest-area internal child ---
-    nodes = []           # list of (codes[8] int32, leaf_mask[8], lo[8,3], hi[8,3])
-    todo = []            # (wide_id, bvh2_slot)
+    nodes = []
+    todo = []
 
     def alloc_wide():
         nodes.append(None)
@@ -144,25 +114,200 @@ def build_wbvh(bvh: BVH2, tri_soa_packed: np.ndarray,
             lo8[k] = lo
             hi8[k] = hi
         nodes[wid] = (codes, is_leaf, lo8, hi8)
+    return nodes
 
+
+def _node_rows(nodes, width, leaf_code_fn, node_base=0):
+    """Assemble wide-node rows.  ``leaf_code_fn(ordinal)`` → final int32
+    code for leaf children; internal children w become
+    ``((w + node_base) << 8) | 0xFF``."""
     n = len(nodes)
-    rows = np.zeros((n + len(leaf_rows), width), np.float32)
+    out = np.zeros((n, width), np.float32)
     for i, (codes, is_leaf, lo8, hi8) in enumerate(nodes):
-        # fix up child codes now that the node count is known:
-        # internal child w → visit code (w << 8) | 0xFF
-        # leaf child g     → -( (n + g) + 1 )  (absolute row index)
         final = np.where(
             codes == EMPTY, EMPTY,
-            np.where(is_leaf, -(n + codes + 1), (codes << 8) | 0xFF),
+            np.where(is_leaf, leaf_code_fn(codes),
+                     ((codes + node_base) << 8) | 0xFF),
         ).astype(np.int32)
-        rows[i, 0:8] = lo8[:, 0]
-        rows[i, 8:16] = lo8[:, 1]
-        rows[i, 16:24] = lo8[:, 2]
-        rows[i, 24:32] = hi8[:, 0]
-        rows[i, 32:40] = hi8[:, 1]
-        rows[i, 40:48] = hi8[:, 2]
-        rows[i, 48:56] = final.view(np.float32)
-    if leaf_rows:
-        rows[n:] = np.stack(leaf_rows)
+        out[i, 0:8] = lo8[:, 0]
+        out[i, 8:16] = lo8[:, 1]
+        out[i, 16:24] = lo8[:, 2]
+        out[i, 24:32] = hi8[:, 0]
+        out[i, 32:40] = hi8[:, 1]
+        out[i, 40:48] = hi8[:, 2]
+        out[i, 48:56] = final.view(np.float32)
+    return out
+
+
+def _tri_leaf_rows(leaf_codes, tri_soa_packed, tri_vis, max_leaf, width):
+    """Padded leaf-group rows for a list of BVH2 leaf codes (slot-SoA)."""
+    rows = np.zeros((len(leaf_codes), width), np.float32)
+    for g, code in enumerate(leaf_codes):
+        enc = -code - 1
+        first = enc >> LEAF_COUNT_BITS
+        count = enc & LEAF_COUNT_MASK
+        tri9 = np.full((max_leaf, 9), np.nan, np.float32)
+        tri9[:count] = tri_soa_packed[first:first + count]
+        prims = np.full(max_leaf, -1, np.int32)
+        prims[:count] = np.arange(first, first + count, dtype=np.int32)
+        vis = np.zeros(max_leaf, np.int32)
+        vis[:count] = (
+            0x7fffffff if tri_vis is None else tri_vis[first:first + count]
+        )
+        rows[g, :9 * max_leaf] = np.ascontiguousarray(tri9.T).reshape(-1)
+        rows[g, 9 * max_leaf:10 * max_leaf] = prims.view(np.float32)
+        rows[g, 10 * max_leaf:11 * max_leaf] = vis.view(np.float32)
+    return rows
+
+
+def build_wbvh(bvh: BVH2, tri_soa_packed: np.ndarray,
+               tri_vis: np.ndarray | None = None):
+    """Collapse a BVH2 into 8-wide nodes + padded leaf groups in one table.
+
+    ``tri_soa_packed``: (T, 9) leaf-order triangle rows (pack_tri_soa
+    "packed").  Returns dict with "wrows" (N+G, W) f32 — node rows first.
+    """
+    max_leaf = bvh.max_leaf
+    width = max(NODE_COLS, 11 * max_leaf)
+
+    leaf_codes = []
+
+    def make_leaf(code):
+        leaf_codes.append(code)
+        return len(leaf_codes) - 1
+
+    nodes = _collapse_wide(bvh, make_leaf)
+    n = len(nodes)
+    rows = np.concatenate([
+        # leaf child g → absolute row -(n + g + 1)
+        _node_rows(nodes, width, lambda g: -(n + g + 1)),
+        _tri_leaf_rows(leaf_codes, tri_soa_packed, tri_vis, max_leaf, width),
+    ]) if leaf_codes else _node_rows(nodes, width, lambda g: g)
 
     return {"wrows": rows}
+
+
+# ---------------------------------------------------------------------------
+# Wide two-level TLAS/BLAS (reference Traverse_TLAS over wbvh_node_t,
+# CoreRef.cpp:2027 + BLAS nesting): TLAS wide nodes, one 14-col instance row
+# per instance, and per-mesh wide BLAS tables — all merged into ONE row
+# table so the traversal step stays a single gather.
+#
+# Code space (int32):
+#   cur ≥ 0                     wide-node visit: (row << 8) | child_mask
+#   cur < 0, v = -cur - 1:
+#     v bit 28 set              instance row at v & 0x0FFFFFFF
+#     else                      tri leaf-group row at v
+#   RESTORE / EMPTY             sentinels (ops/traverse.py)
+# Row budget: row < 2^23 (visit codes shift by 8).
+#
+# Instance row layout (cols 0..13): inv00..inv22 (row-major 3×3 of the
+# object-from-world transform), invtx invty invtz, vis (bitcast i32),
+# blas_root_visit_code (bitcast i32).
+# ---------------------------------------------------------------------------
+
+INST_ROW_BIT = 1 << 28
+
+
+def build_wtlas(tlas: BVH2, inst_of_leaf: np.ndarray, inv: np.ndarray,
+                inst_vis: np.ndarray, blas_list, blas_mesh_ids,
+                blas_tri_base, tri_soa_packed: np.ndarray, max_leaf: int):
+    """Build the unified wide two-level table.
+
+    tlas: BVH2 over instance AABBs (max_leaf=1); ``inst_of_leaf[first]`` =
+      instance index of the TLAS leaf starting at ``first`` (its
+      prim_indices).
+    inv: (I, 3, 4) object-from-world transforms; inst_vis: (I,) i32.
+    blas_list: per-used-mesh BVH2 (object space, leaf codes LOCAL to the
+      mesh); blas_mesh_ids: mesh id per entry; blas_tri_base: global
+      leaf-order triangle offset per mesh id.
+    tri_soa_packed: (T, 9) GLOBAL leaf-order triangle rows.
+    """
+    width = max(NODE_COLS, 11 * max_leaf, 14)
+    n_inst = inv.shape[0]
+
+    # --- collapse every BLAS first to learn its node/leaf row counts ---
+    mesh_tables = {}
+    for bvh, mid in zip(blas_list, blas_mesh_ids):
+        leaf_codes = []
+
+        def make_leaf(code, _lc=leaf_codes):
+            _lc.append(code)
+            return len(_lc) - 1
+
+        nodes = _collapse_wide(bvh, make_leaf)
+        mesh_tables[mid] = (nodes, leaf_codes, bvh.max_leaf)
+
+    # --- row layout: [TLAS nodes | instance rows | mesh m nodes+leaves …]
+    tlas_leaf_ids = []
+
+    def tlas_leaf(code):
+        enc = -code - 1
+        first = enc >> LEAF_COUNT_BITS
+        assert (enc & LEAF_COUNT_MASK) == 1
+        tlas_leaf_ids.append(int(inst_of_leaf[first]))
+        return len(tlas_leaf_ids) - 1
+
+    tlas_nodes = _collapse_wide(tlas, tlas_leaf)
+    n_tlas = len(tlas_nodes)
+    inst_base = n_tlas
+    base = inst_base + n_inst
+    mesh_base = {}
+    for mid, (nodes, leaf_codes, _) in mesh_tables.items():
+        mesh_base[mid] = base
+        base += len(nodes) + len(leaf_codes)
+    total_rows = base
+    assert total_rows < (1 << 23), total_rows
+
+    parts = []
+    # TLAS nodes: leaf ordinal g → instance tlas_leaf_ids[g]'s row.
+    # leaf_code_fn receives the full raw codes array (non-leaf entries
+    # included, masked by the caller) — clamp before indexing.
+    ids = np.asarray(tlas_leaf_ids, np.int32) if tlas_leaf_ids else \
+        np.zeros(1, np.int32)
+
+    def tlas_leaf_code(g):
+        gi = ids[np.clip(g, 0, ids.shape[0] - 1)]
+        return -(((inst_base + gi) | INST_ROW_BIT) + 1)
+
+    parts.append(_node_rows(tlas_nodes, width, tlas_leaf_code))
+    # instance rows
+    irows = np.zeros((n_inst, width), np.float32)
+    irows[:, 0:9] = inv[:, :, :3].reshape(n_inst, 9)
+    irows[:, 9:12] = inv[:, :, 3]
+    irows[:, 12] = inst_vis.astype(np.int32).view(np.float32)
+    parts.append(irows)
+    # per-mesh BLAS tables
+    for mid, (nodes, leaf_codes, blas_max_leaf) in mesh_tables.items():
+        nb = mesh_base[mid]
+        leaf_base = nb + len(nodes)
+        parts.append(_node_rows(
+            nodes, width, lambda g: -(leaf_base + g + 1), node_base=nb,
+        ))
+        # leaf codes are mesh-local; shift 'first' to the global tri order
+        tb = blas_tri_base[mid]
+        shifted = [
+            -((((((-c - 1) >> LEAF_COUNT_BITS) + tb) << LEAF_COUNT_BITS)
+               | ((-c - 1) & LEAF_COUNT_MASK)) + 1)
+            for c in leaf_codes
+        ]
+        parts.append(_tri_leaf_rows(
+            shifted, tri_soa_packed, None, blas_max_leaf, width,
+        ))
+    rows = np.concatenate(parts)
+    assert rows.shape[0] == total_rows
+
+    # root codes per mesh, written into the instance rows last
+    root_code = np.array(
+        [(mesh_base[mid] << 8) | 0xFF for mid in blas_mesh_ids], np.int32
+    )
+    mesh_root = {mid: rc for mid, rc in zip(blas_mesh_ids, root_code)}
+    return {"wrows_tlas": rows}, mesh_root, inst_base
+
+
+def finish_wtlas(table: dict, inst_mesh, mesh_root, inst_base):
+    """Write each instance's BLAS-root visit code into its row (col 13)."""
+    rows = table["wrows_tlas"]
+    for i, mid in enumerate(inst_mesh):
+        rows[inst_base + i, 13] = np.int32(mesh_root[mid]).view(np.float32)
+    return table

@@ -194,3 +194,94 @@ def test_shadow_invisible_occluder(mode):
     assert img_noshadow[c, c].mean() > 4.0 * max(img_solid[c, c].mean(), 1e-3), (
         img_solid[c, c].mean(), img_noshadow[c, c].mean()
     )
+
+
+def test_wide_tlas_matches_binary():
+    """The wide unified-table two-level machine (build_wtlas +
+    _traverse_wide_tlas) must reproduce the binary TLAS traversal exactly:
+    same prim, same inst, same t — including under non-uniform instance
+    scale and per-instance visibility masks."""
+    import jax.numpy as jnp
+
+    from ray_tpu.ops.traverse import (
+        trace_closest_tlas,
+        trace_occlusion_tlas,
+        _traverse_tlas,
+    )
+    from ray_tpu.scene.visibility import RAY_CAMERA, RAY_SHADOW
+
+    sc = Scene()
+    sc.add_material(MaterialDesc(type=ShadingNode.DIFFUSE))
+    v, idx, n, uv = make_uv_sphere(rings=12, segments=20)  # 440 tris
+    mesh = sc.add_mesh(v, idx, normals=n, uvs=uv)
+    m0 = _xlate((-1.2, 0.0, 0.0), 0.8)
+    m1 = np.eye(4, dtype=np.float32)
+    m1[:3, :3] = np.diag([1.5, 0.6, 1.0])   # non-uniform scale
+    m1[:3, 3] = (1.0, 0.2, 0.6)
+    sc.add_instance(mesh, m0)
+    sc.add_instance(mesh, m1, visibility=RAY_SHADOW)  # camera-invisible
+    flat = sc.finalize(instancing="tlas")
+    assert "wrows_tlas" in flat.bvh_soa, "wide table should be built"
+
+    rng = np.random.default_rng(7)
+    R = 2048
+    ro = jnp.asarray(rng.uniform(-3, 3, (R, 3)).astype(np.float32))
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    t0 = jnp.zeros((R,), jnp.float32)
+    t1 = jnp.full((R,), 1e30, jnp.float32)
+    act = jnp.ones((R,), jnp.bool_)
+
+    for mask_val in (RAY_CAMERA, RAY_SHADOW):
+        mask = jnp.full((R,), mask_val, jnp.int32)
+        hw = trace_closest_tlas(
+            flat.bvh_soa, flat.tri_soa, flat.inst, ro, rd, t0, t1, act,
+            ray_mask=mask, max_leaf=flat.max_leaf,
+            stack_size=flat.stack_size,
+        )
+        hb = _traverse_tlas(
+            flat.bvh_soa, flat.tri_soa, flat.inst, ro, rd, t0, t1, act,
+            mask, flat.max_leaf, flat.stack_size, any_hit=False,
+        )
+        same = np.asarray(hw.prim) == np.asarray(hb.prim)
+        assert same.mean() > 0.995, same.mean()   # exact ties only
+        m = same & (np.asarray(hb.prim) >= 0)
+        np.testing.assert_array_equal(
+            np.asarray(hw.inst)[m], np.asarray(hb.inst)[m]
+        )
+        np.testing.assert_allclose(
+            np.asarray(hw.t)[m], np.asarray(hb.t)[m], rtol=1e-4
+        )
+        ow = trace_occlusion_tlas(
+            flat.bvh_soa, flat.tri_soa, flat.inst, ro, rd, t0, t1, act,
+            ray_mask=mask, max_leaf=flat.max_leaf,
+            stack_size=flat.stack_size,
+        )
+        # any-hit may find *some* hit where closest exists; occlusion sets
+        # must match the binary machine's notion of "anything in range"
+        assert (np.asarray(ow) == (np.asarray(hb.prim) >= 0)).mean() > 0.995
+
+
+def test_wide_tlas_render_matches_flatten():
+    """Instancing-heavy scene >256 tris: the wide two-level path must
+    produce the same image as the flattened single-BVH path."""
+    env = (0.5, 0.6, 0.8)
+    sc = Scene()
+    sc.add_material(MaterialDesc(type=ShadingNode.DIFFUSE,
+                                 base_color=(0.6, 0.5, 0.4)))
+    v, idx, n, uv = make_uv_sphere(rings=10, segments=16)
+    mesh = sc.add_mesh(v, idx, normals=n, uvs=uv)
+    for k, (t, s) in enumerate([((-1.5, 0, 0), 0.7), ((0, 0, 0.4), 1.0),
+                                ((1.5, 0.2, 0), 0.5)]):
+        sc.add_instance(mesh, _xlate(t, s))
+    sc.set_environment(env)
+    from ray_tpu.scene.camera import make_camera
+    cam = make_camera(origin=(0, 1.5, -5), look_at=(0, 0, 0), fov=45.0)
+
+    tl = sc.finalize(instancing="tlas")
+    assert "wrows_tlas" in tl.bvh_soa
+    img_tlas = _render(tl, cam)
+    img_flat = _render(sc.finalize(instancing="flatten"), cam)
+    assert np.max(np.abs(img_flat - img_tlas)) < 2e-3, (
+        np.max(np.abs(img_flat - img_tlas))
+    )
