@@ -198,6 +198,10 @@ def render_tile(
 
     have_lights = scene.num_lights > 0
     is_tlas = scene.mode == "tlas"
+    # static shading features: node types the scene actually contains
+    # (traces away whole lobe families + the IOR stack — the XLA analogue
+    # of the reference's per-feature shader variants)
+    feats = uber.mat_features(getattr(scene, "mat_types", None))
 
     def _trace_closest(ro, rd, t_min, t_max, active, mask):
         """Mode dispatch: flattened single-BVH vs two-level TLAS/BLAS.
@@ -418,7 +422,10 @@ def render_tile(
             rand_dim + jnp.uint32(rng.RAND_DIM_BSDF_PICK), seed, sample_i
         )
 
-        ext_ior = _peek_ior(ior_stack, hit.backface)
+        ext_ior = (
+            _peek_ior(ior_stack, hit.backface) if feats.any_refr
+            else jnp.ones((R,), jnp.float32)
+        )
         mat_id, mix_rand, mix_weight = surface_mod.resolve_mix(
             scene, mat_id, surf.uv, mix_rx, rd, surf.N, ext_ior, hit.backface,
             tex_rand, lam=lam,
@@ -439,6 +446,7 @@ def render_tile(
                 radcache.RAD_CACHE_MIN_ROUGHNESS if cache_mode == "update"
                 else 0.0
             ),
+            feats=feats,
         )
         if settings.lighting_only:
             # lightmap mode: ignore albedo at the primary vertex (reference
@@ -517,7 +525,7 @@ def render_tile(
                 jnp.stack([luv_x, luv_y], axis=-1),
             )
             f_cos, pdf_b = uber.eval_uber(
-                params, surf.T, surf.B, surf.N, rd, ls.L
+                params, surf.T, surf.B, surf.N, rd, ls.L, feats=feats
             )
             can_mis = total_depth < settings.max_total_depth
             nee_mis = jnp.where(
@@ -562,7 +570,7 @@ def render_tile(
         )
         bs = uber.sample_uber(
             params, surf.T, surf.B, surf.N, rd,
-            jnp.stack([brx, bry], axis=-1), mix_rand,
+            jnp.stack([brx, bry], axis=-1), mix_rand, feats=feats,
         )
 
         is_diff = bs.ray_type == uber.RAY_TYPE_DIFFUSE
@@ -598,10 +606,11 @@ def render_tile(
             can_continue & depth_ok & rr_pass & (tlum > 0.0) & (bs.pdf > 0.0)
         )
 
-        entering = next_active & is_refr & (~hit.backface)
-        exiting = next_active & is_refr & hit.backface
-        ior_stack = _push_ior(ior_stack, params.int_ior, entering)
-        ior_stack = _pop_ior(ior_stack, exiting)
+        if feats.any_refr:
+            entering = next_active & is_refr & (~hit.backface)
+            exiting = next_active & is_refr & hit.backface
+            ior_stack = _push_ior(ior_stack, params.int_ior, entering)
+            ior_stack = _pop_ior(ior_stack, exiting)
 
         new_o = offset_ray(
             surf.P,

@@ -339,6 +339,18 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
     R = P.shape[0]
     nl = lights["type"].shape[0]
 
+    # static per-scene light-type set: absent types trace away entirely
+    # (the analogue of the reference's per-feature shader specialization)
+    kinds = {k for (k, _v, _d, _p) in scene.light_kinds}
+    has_sphere = LightType.SPHERE in kinds
+    has_dir = LightType.DIR in kinds
+    has_rect = LightType.RECT in kinds
+    has_disk = LightType.DISK in kinds
+    has_line = LightType.LINE in kinds
+    has_tri = LightType.TRI in kinds
+    has_env = LightType.ENV in kinds
+    has_portal = any(p for (_k, _v, _d, p) in scene.light_kinds)
+
     if scene.light_tree_depth > 0:
         # hierarchical pick (reference USE_HIERARCHICAL_NEE path)
         idx, pick_pdf, u1 = pick_light_tree(scene, P, rand_pick)
@@ -353,18 +365,48 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
         u1 = saturate(safe_div_pos(rand_pick - cdf_lo, pick_pdf))
 
     # single one-hot-matmul read of the whole light row (ops/gather.py) —
-    # replaces 15 serializing row gathers
+    # replaces 15 serializing row gathers; columns no present light type
+    # needs are dropped statically
     oh = one_hot_f32(idx, nl) if nl <= 128 else None
-    (ltype, lcol, lpos, ldir, lu, lv, radius, width, height, angle,
-     visible, doublesided, cast_shadow, spot_cos, spot_blend,
-     portal) = read_packed(
-        [lights["type"], lights["col"], lights["pos"], lights["dir"],
-         lights["u"], lights["v"], lights["radius"], lights["width"],
-         lights["height"], lights["angle"], lights["visible"],
-         lights["doublesided"], lights["cast_shadow"], lights["spot_cos"],
-         lights["spot_blend"], lights["portal"]],
-        idx, oh=oh,
-    )
+    zero = jnp.zeros((R,), jnp.float32)
+    cols = ["type", "col", "cast_shadow"]
+    if has_sphere or has_dir or has_rect or has_disk or has_line or has_tri:
+        cols.append("visible")
+    if has_sphere or has_rect or has_disk or has_line:
+        cols.append("pos")
+    if has_sphere or has_dir:
+        cols.append("dir")
+    if has_rect or has_disk or has_line:
+        cols += ["v", "height"]
+    if has_rect or has_disk:
+        cols += ["u", "width"]
+    if has_sphere or has_line:
+        cols.append("radius")
+    if has_sphere:
+        cols += ["spot_cos", "spot_blend"]
+    if has_dir:
+        cols.append("angle")
+    if has_rect or has_disk or has_tri:
+        cols.append("doublesided")
+    if has_portal:
+        cols.append("portal")
+    vals = dict(zip(cols, read_packed([lights[c] for c in cols], idx, oh=oh)))
+    ltype = vals["type"]
+    lcol = vals["col"]
+    cast_shadow = vals["cast_shadow"]
+    visible = vals.get("visible", jnp.zeros((R,), jnp.bool_))
+    lpos = vals.get("pos")
+    ldir = vals.get("dir")
+    lu = vals.get("u")
+    lv = vals.get("v")
+    radius = vals.get("radius", zero)
+    width = vals.get("width", zero)
+    height = vals.get("height", zero)
+    angle = vals.get("angle", zero)
+    spot_cos = vals.get("spot_cos", zero)
+    spot_blend = vals.get("spot_blend", zero)
+    doublesided = vals.get("doublesided", jnp.zeros((R,), jnp.bool_))
+    portal = vals.get("portal", jnp.zeros((R,), jnp.bool_))
 
     r1 = rand_uv[..., 0]
     r2 = rand_uv[..., 1]
@@ -377,233 +419,243 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
     out_distmul = jnp.ones((R,), jnp.float32)
     out_fromenv = jnp.zeros((R,), jnp.bool_)
 
-    # ---- sphere (incl. spot) — CoreRef.cpp:3322-3368 ----
-    to_c = lpos - P
-    d = jnp.sqrt(jnp.maximum(dot(to_c, to_c, False), 1e-30))
-    light_normal = to_c / d[:, None]
-    outside = d > radius
-    temp = jnp.sqrt(jnp.maximum(d * d - radius * radius, 0.0))
-    disk_radius = safe_div_pos(temp * radius, d)
-    disk_dist = jnp.where(radius > 0.0, safe_div_pos(temp * disk_radius, radius), d)
-    cone_pt = _map_to_cone(r1, r2, disk_dist[:, None] * light_normal, disk_radius)
-    cone_len = jnp.sqrt(jnp.maximum(dot(cone_pt, cone_pt, False), 1e-30))
-    sph_L = cone_pt / cone_len[:, None]
-    # project sampled dir onto the sphere surface
-    b_q = dot(sph_L, -to_c, False)
-    c_q = dot(to_c, to_c, False) - radius * radius
-    disc = jnp.maximum(b_q * b_q - c_q, 0.0)
-    ls_dist = -b_q - jnp.sqrt(disc)
-    sph_surf = P + sph_L * ls_dist[:, None]
-    sph_fwd = safe_normalize(sph_surf - lpos)
-    sampled_area = PI * disk_radius * disk_radius
-    cos_theta_s = dot(sph_L, light_normal, False)
-    sph_pdf = jnp.where(
-        radius > 0.0,
-        safe_div_pos(cone_len * cone_len, sampled_area * jnp.maximum(cos_theta_s, 1e-7)),
-        safe_div_pos(cone_len * cone_len, PI),
-    )
-    sph_lp = jnp.where(
-        (radius > 0.0)[:, None], offset_ray(sph_surf, sph_fwd), lpos
-    )
-    # spot factor
-    spot_dot = -dot(sph_L, ldir, False)
-    spot_angle = jnp.arccos(saturate(spot_dot))
-    spot_limit = jnp.arccos(jnp.clip(spot_cos, -1.0, 1.0))
-    spot_factor = jnp.where(
-        spot_cos > -1.5,
-        jnp.where(
-            spot_dot > 0.0,
-            saturate(safe_div_pos(spot_limit - spot_angle, jnp.maximum(spot_blend, 1e-6))),
-            0.0,
-        ),
-        1.0,
-    )
-    is_sph = ltype == LightType.SPHERE
-    sph_ok = is_sph & outside
-    out_L = jnp.where(sph_ok[:, None], sph_L, out_L)
-    out_lp = jnp.where(sph_ok[:, None], sph_lp, out_lp)
-    out_pdf = jnp.where(sph_ok, sph_pdf, out_pdf)
-    out_area = jnp.where(sph_ok & visible, sampled_area, out_area)
-    out_col = jnp.where(is_sph[:, None], out_col * spot_factor[:, None], out_col)
-
-    # ---- directional — CoreRef.cpp:3369-3391 ----
-    tan_angle = jnp.tan(jnp.radians(angle) * 0.5)
-    has_spread = tan_angle != 0.0
-    cone = _map_to_cone(r1, r2, ldir, tan_angle)
-    dir_L = jnp.where(has_spread[:, None], safe_normalize(cone), ldir)
-    dir_area = jnp.where(has_spread, PI * tan_angle * tan_angle, 0.0)
-    dir_cos = dot(dir_L, ldir, False)
-    dir_pdf = jnp.where(
-        has_spread, safe_div_pos(1.0, dir_area * jnp.maximum(dir_cos, 1e-7)), 1.0
-    )
-    is_dir = ltype == LightType.DIR
-    out_L = jnp.where(is_dir[:, None], dir_L, out_L)
-    out_lp = jnp.where(is_dir[:, None], P + dir_L, out_lp)
-    out_pdf = jnp.where(is_dir, dir_pdf, out_pdf)
-    out_area = jnp.where(is_dir & visible, dir_area, out_area)
-    out_distmul = jnp.where(is_dir, MAX_DIST, out_distmul)
-
-    # ---- rect — CoreRef.cpp:3392-3422: spherical-rectangle (Ureña) solid-
-    # angle sampling, falling back to uniform area sampling when the
-    # subtended solid angle is tiny (USE_SPHERICAL_AREA_LIGHT_SAMPLING) ----
-    rect_u = lu * width[:, None]
-    rect_v = lv * height[:, None]
-    rect_fwd = safe_normalize(cross(rect_u, rect_v))
-    sr_pdf, sr_p, sr_ok = sample_spherical_rectangle(
-        P, lpos, rect_u, rect_v, r1, r2
-    )
-    rp_area = lpos + rect_u * (r1 - 0.5)[:, None] + rect_v * (r2 - 0.5)[:, None]
-    rp = jnp.where(sr_ok[:, None], sr_p, rp_area)
-    rvec = rp - P
-    rdist = jnp.sqrt(jnp.maximum(dot(rvec, rvec, False), 1e-30))
-    rect_L = rvec / rdist[:, None]
-    rect_area = width * height
-    rcos = dot(-rect_L, rect_fwd, False)
-    rcos_eff = jnp.where(doublesided, jnp.abs(rcos), rcos)
-    rect_ok = (ltype == LightType.RECT) & (rcos_eff > 0.0)
-    rect_pdf = jnp.where(
-        sr_ok,
-        sr_pdf,
-        safe_div_pos(rdist * rdist, rect_area * jnp.maximum(rcos_eff, 1e-9)),
-    )
-    rect_side = jnp.where((rcos > 0.0)[:, None], rect_fwd, -rect_fwd)
-    out_L = jnp.where(rect_ok[:, None], rect_L, out_L)
-    out_lp = jnp.where(rect_ok[:, None], offset_ray(rp, rect_side), out_lp)
-    out_pdf = jnp.where(rect_ok, rect_pdf, out_pdf)
-    out_area = jnp.where(rect_ok & visible, rect_area, out_area)
-
-    # ---- disk — CoreRef.cpp:3423-3466 ----
-    ox = 2.0 * r1 - 1.0
-    oy = 2.0 * r2 - 1.0
-    use_x = jnp.abs(ox) > jnp.abs(oy)
-    rr = jnp.where(use_x, ox, oy)
-    th = jnp.where(
-        use_x,
-        0.25 * PI * safe_div_pos(oy, jnp.where(use_x, ox, 1.0)),
-        0.5 * PI - 0.25 * PI * safe_div_pos(ox, jnp.where(use_x, 1.0, oy)),
-    )
-    sth, cth = _sincos(th)
-    zero_off = (ox == 0.0) & (oy == 0.0)
-    du = jnp.where(zero_off, 0.0, 0.5 * rr * cth)
-    dv = jnp.where(zero_off, 0.0, 0.5 * rr * sth)
-    dp = lpos + lu * (du * width)[:, None] + lv * (dv * height)[:, None]
-    disk_fwd = safe_normalize(cross(lu, lv))
-    dvec = dp - P
-    ddist = jnp.sqrt(jnp.maximum(dot(dvec, dvec, False), 1e-30))
-    dL = dvec / ddist[:, None]
-    disk_area = 0.25 * PI * width * height
-    dcos = dot(-dL, disk_fwd, False)
-    dcos_eff = jnp.where(doublesided, jnp.abs(dcos), dcos)
-    disk_ok = (ltype == LightType.DISK) & (dcos_eff > 0.0)
-    disk_pdf = safe_div_pos(ddist * ddist, disk_area * jnp.maximum(dcos_eff, 1e-9))
-    disk_side = jnp.where((dcos > 0.0)[:, None], disk_fwd, -disk_fwd)
-    out_L = jnp.where(disk_ok[:, None], dL, out_L)
-    out_lp = jnp.where(disk_ok[:, None], offset_ray(dp, disk_side), out_lp)
-    out_pdf = jnp.where(disk_ok, disk_pdf, out_pdf)
-    out_area = jnp.where(disk_ok & visible, disk_area, out_area)
-
-    # ---- line — CoreRef.cpp:3467-3506 ----
-    c2s = P - lpos
-    line_u = safe_normalize(cross(c2s, lv))
-    line_v2 = cross(line_u, lv)
-    phi = PI * r1
-    sphl, cphl = _sincos(phi)
-    line_n = cphl[:, None] * line_u + sphl[:, None] * line_v2
-    lp_line = lpos + line_n * radius[:, None] + (r2 - 0.5)[:, None] * lv * height[:, None]
-    lvec = lp_line - P
-    ldist = jnp.sqrt(jnp.maximum(dot(lvec, lvec, False), 1e-30))
-    lL = lvec / ldist[:, None]
-    line_area = 2.0 * PI * radius * height
-    lcos = 1.0 - jnp.abs(dot(lL, lv, False))
-    line_ok = (ltype == LightType.LINE) & (lcos != 0.0)
-    line_pdf = safe_div_pos(ldist * ldist, line_area * jnp.maximum(lcos, 1e-9))
-    out_L = jnp.where(line_ok[:, None], lL, out_L)
-    out_lp = jnp.where(line_ok[:, None], lp_line, out_lp)
-    out_pdf = jnp.where(line_ok, line_pdf, out_pdf)
-    out_area = jnp.where(line_ok & visible, line_area, out_area)
-
-    # ---- triangle — CoreRef.cpp:3507-3577 (uniform area sampling) ----
-    if getattr(scene, "mode", "flatten") == "tlas":
-        # scene.vertices are object-space under instancing; the light table
-        # carries the world-space triangle
-        tp0, tp1, tp2 = read_packed(
-            [lights["tp0"], lights["tp1"], lights["tp2"]], idx, oh=oh
+    if has_sphere:
+        # ---- sphere (incl. spot) — CoreRef.cpp:3322-3368 ----
+        to_c = lpos - P
+        d = jnp.sqrt(jnp.maximum(dot(to_c, to_c, False), 1e-30))
+        light_normal = to_c / d[:, None]
+        outside = d > radius
+        temp = jnp.sqrt(jnp.maximum(d * d - radius * radius, 0.0))
+        disk_radius = safe_div_pos(temp * radius, d)
+        disk_dist = jnp.where(radius > 0.0, safe_div_pos(temp * disk_radius, radius), d)
+        cone_pt = _map_to_cone(r1, r2, disk_dist[:, None] * light_normal, disk_radius)
+        cone_len = jnp.sqrt(jnp.maximum(dot(cone_pt, cone_pt, False), 1e-30))
+        sph_L = cone_pt / cone_len[:, None]
+        # project sampled dir onto the sphere surface
+        b_q = dot(sph_L, -to_c, False)
+        c_q = dot(to_c, to_c, False) - radius * radius
+        disc = jnp.maximum(b_q * b_q - c_q, 0.0)
+        ls_dist = -b_q - jnp.sqrt(disc)
+        sph_surf = P + sph_L * ls_dist[:, None]
+        sph_fwd = safe_normalize(sph_surf - lpos)
+        sampled_area = PI * disk_radius * disk_radius
+        cos_theta_s = dot(sph_L, light_normal, False)
+        sph_pdf = jnp.where(
+            radius > 0.0,
+            safe_div_pos(cone_len * cone_len, sampled_area * jnp.maximum(cos_theta_s, 1e-7)),
+            safe_div_pos(cone_len * cone_len, PI),
         )
-    else:
-        tri = jnp.maximum(read_rows(lights["tri_index"], idx, oh=oh), 0)
-        trow = scene.tri_surf[tri]
-        tp0, tp1, tp2 = trow[:, 0:3], trow[:, 3:6], trow[:, 6:9]
-    tfwd = cross(tp1 - tp0, tp2 - tp0)
-    tfwd_len = jnp.sqrt(jnp.maximum(dot(tfwd, tfwd, False), 1e-30))
-    tri_fwd = tfwd / tfwd_len[:, None]
-    tri_area = 0.5 * tfwd_len
-    # spherical-triangle (Arvo) solid-angle sampling with uniform-area
-    # fallback (CoreRef.cpp:3530-3556)
-    st_pdf, st_L, st_ok = sample_spherical_triangle(P, tp0, tp1, tp2, r1, r2)
-    te1 = tp1 - tp0
-    te2 = tp2 - tp0
-    st_pvec = cross(st_L, te2)
-    st_tvec = P - tp0
-    st_qvec = cross(st_tvec, te1)
-    st_det = dot(te1, st_pvec, False)
-    st_inv = _safe_div_signed(1.0, st_det, 1e-12)
-    st_u = dot(st_tvec, st_pvec, False) * st_inv
-    st_v = dot(st_L, st_qvec, False) * st_inv
-    st_lp = (
-        (1.0 - st_u - st_v)[:, None] * tp0
-        + st_u[:, None] * tp1
-        + st_v[:, None] * tp2
-    )
-    sr1 = jnp.sqrt(jnp.maximum(r1, 0.0))
-    tlp_area = (
-        tp0 * (1.0 - sr1)[:, None]
-        + sr1[:, None] * (tp1 * (1.0 - r2)[:, None] + tp2 * r2[:, None])
-    )
-    tlp = jnp.where(st_ok[:, None], st_lp, tlp_area)
-    tvec = tlp - P
-    tdist = jnp.sqrt(jnp.maximum(dot(tvec, tvec, False), 1e-30))
-    tL = jnp.where(st_ok[:, None], st_L, tvec / tdist[:, None])
-    tcos = -dot(tL, tri_fwd, False)
-    tcos_eff = jnp.where(doublesided, jnp.abs(tcos), tcos)
-    tri_ok = (ltype == LightType.TRI) & (tcos_eff > 0.0)
-    tri_pdf = jnp.where(
-        st_ok,
-        st_pdf,
-        safe_div_pos(tdist * tdist, tri_area * jnp.maximum(tcos_eff, 1e-9)),
-    )
-    tri_side = jnp.where((tcos >= 0.0)[:, None], tri_fwd, -tri_fwd)
-    out_L = jnp.where(tri_ok[:, None], tL, out_L)
-    out_lp = jnp.where(tri_ok[:, None], offset_ray(tlp, tri_side), out_lp)
-    out_pdf = jnp.where(tri_ok, tri_pdf, out_pdf)
-    out_area = jnp.where(tri_ok, tri_area, out_area)
+        sph_lp = jnp.where(
+            (radius > 0.0)[:, None], offset_ray(sph_surf, sph_fwd), lpos
+        )
+        # spot factor
+        spot_dot = -dot(sph_L, ldir, False)
+        spot_angle = jnp.arccos(saturate(spot_dot))
+        spot_limit = jnp.arccos(jnp.clip(spot_cos, -1.0, 1.0))
+        spot_factor = jnp.where(
+            spot_cos > -1.5,
+            jnp.where(
+                spot_dot > 0.0,
+                saturate(safe_div_pos(spot_limit - spot_angle, jnp.maximum(spot_blend, 1e-6))),
+                0.0,
+            ),
+            1.0,
+        )
+        is_sph = ltype == LightType.SPHERE
+        sph_ok = is_sph & outside
+        out_L = jnp.where(sph_ok[:, None], sph_L, out_L)
+        out_lp = jnp.where(sph_ok[:, None], sph_lp, out_lp)
+        out_pdf = jnp.where(sph_ok, sph_pdf, out_pdf)
+        out_area = jnp.where(sph_ok & visible, sampled_area, out_area)
+        out_col = jnp.where(is_sph[:, None], out_col * spot_factor[:, None], out_col)
 
-    # ---- env — CoreRef.cpp:3578-3611: importance-sampled from the latlong
-    # CDF tables when a map exists, uniform hemisphere otherwise ----
-    if scene.env_tab_h > 0:
-        env_L, env_pdf_sa = sample_env_importance(scene, r1, r2)
-    else:
-        phi_e = 2.0 * PI * r2
-        spe, cpe = _sincos(phi_e)
-        de = jnp.sqrt(jnp.maximum(1.0 - r1 * r1, 0.0))
-        env_ts = jnp.stack([de * cpe, de * spe, r1], axis=-1)
-        env_L = world_from_tangent(T, B, N, env_ts)
-        env_pdf_sa = jnp.full(r1.shape, 0.5 / PI)
-    is_env = ltype == LightType.ENV
-    # the ENV light's table color is only used for pick-CDF weighting; actual
-    # radiance comes from env_color (constant × map) to avoid double counting
-    env_col_mult = env_color(scene, env_L)
-    out_col = jnp.where(is_env[:, None], env_col_mult, out_col)
-    out_L = jnp.where(is_env[:, None], env_L, out_L)
-    out_lp = jnp.where(is_env[:, None], P + env_L, out_lp)
-    out_pdf = jnp.where(is_env, env_pdf_sa, out_pdf)
-    out_area = jnp.where(is_env, 1.0, out_area)
-    out_distmul = jnp.where(is_env, MAX_DIST, out_distmul)
-    out_fromenv = out_fromenv | is_env
+    if has_dir:
+        # ---- directional — CoreRef.cpp:3369-3391 ----
+        tan_angle = jnp.tan(jnp.radians(angle) * 0.5)
+        has_spread = tan_angle != 0.0
+        cone = _map_to_cone(r1, r2, ldir, tan_angle)
+        dir_L = jnp.where(has_spread[:, None], safe_normalize(cone), ldir)
+        dir_area = jnp.where(has_spread, PI * tan_angle * tan_angle, 0.0)
+        dir_cos = dot(dir_L, ldir, False)
+        dir_pdf = jnp.where(
+            has_spread, safe_div_pos(1.0, dir_area * jnp.maximum(dir_cos, 1e-7)), 1.0
+        )
+        is_dir = ltype == LightType.DIR
+        out_L = jnp.where(is_dir[:, None], dir_L, out_L)
+        out_lp = jnp.where(is_dir[:, None], P + dir_L, out_lp)
+        out_pdf = jnp.where(is_dir, dir_pdf, out_pdf)
+        out_area = jnp.where(is_dir & visible, dir_area, out_area)
+        out_distmul = jnp.where(is_dir, MAX_DIST, out_distmul)
+
+    if has_rect:
+        # ---- rect — CoreRef.cpp:3392-3422: spherical-rectangle (Ureña)
+        # solid-angle sampling, falling back to uniform area sampling when
+        # the subtended solid angle is tiny
+        # (USE_SPHERICAL_AREA_LIGHT_SAMPLING) ----
+        rect_u = lu * width[:, None]
+        rect_v = lv * height[:, None]
+        rect_fwd = safe_normalize(cross(rect_u, rect_v))
+        sr_pdf, sr_p, sr_ok = sample_spherical_rectangle(
+            P, lpos, rect_u, rect_v, r1, r2
+        )
+        rp_area = lpos + rect_u * (r1 - 0.5)[:, None] + rect_v * (r2 - 0.5)[:, None]
+        rp = jnp.where(sr_ok[:, None], sr_p, rp_area)
+        rvec = rp - P
+        rdist = jnp.sqrt(jnp.maximum(dot(rvec, rvec, False), 1e-30))
+        rect_L = rvec / rdist[:, None]
+        rect_area = width * height
+        rcos = dot(-rect_L, rect_fwd, False)
+        rcos_eff = jnp.where(doublesided, jnp.abs(rcos), rcos)
+        rect_ok = (ltype == LightType.RECT) & (rcos_eff > 0.0)
+        rect_pdf = jnp.where(
+            sr_ok,
+            sr_pdf,
+            safe_div_pos(rdist * rdist, rect_area * jnp.maximum(rcos_eff, 1e-9)),
+        )
+        rect_side = jnp.where((rcos > 0.0)[:, None], rect_fwd, -rect_fwd)
+        out_L = jnp.where(rect_ok[:, None], rect_L, out_L)
+        out_lp = jnp.where(rect_ok[:, None], offset_ray(rp, rect_side), out_lp)
+        out_pdf = jnp.where(rect_ok, rect_pdf, out_pdf)
+        out_area = jnp.where(rect_ok & visible, rect_area, out_area)
+
+    if has_disk:
+        # ---- disk — CoreRef.cpp:3423-3466 ----
+        ox = 2.0 * r1 - 1.0
+        oy = 2.0 * r2 - 1.0
+        use_x = jnp.abs(ox) > jnp.abs(oy)
+        rr = jnp.where(use_x, ox, oy)
+        th = jnp.where(
+            use_x,
+            0.25 * PI * safe_div_pos(oy, jnp.where(use_x, ox, 1.0)),
+            0.5 * PI - 0.25 * PI * safe_div_pos(ox, jnp.where(use_x, 1.0, oy)),
+        )
+        sth, cth = _sincos(th)
+        zero_off = (ox == 0.0) & (oy == 0.0)
+        du = jnp.where(zero_off, 0.0, 0.5 * rr * cth)
+        dv = jnp.where(zero_off, 0.0, 0.5 * rr * sth)
+        dp = lpos + lu * (du * width)[:, None] + lv * (dv * height)[:, None]
+        disk_fwd = safe_normalize(cross(lu, lv))
+        dvec = dp - P
+        ddist = jnp.sqrt(jnp.maximum(dot(dvec, dvec, False), 1e-30))
+        dL = dvec / ddist[:, None]
+        disk_area = 0.25 * PI * width * height
+        dcos = dot(-dL, disk_fwd, False)
+        dcos_eff = jnp.where(doublesided, jnp.abs(dcos), dcos)
+        disk_ok = (ltype == LightType.DISK) & (dcos_eff > 0.0)
+        disk_pdf = safe_div_pos(ddist * ddist, disk_area * jnp.maximum(dcos_eff, 1e-9))
+        disk_side = jnp.where((dcos > 0.0)[:, None], disk_fwd, -disk_fwd)
+        out_L = jnp.where(disk_ok[:, None], dL, out_L)
+        out_lp = jnp.where(disk_ok[:, None], offset_ray(dp, disk_side), out_lp)
+        out_pdf = jnp.where(disk_ok, disk_pdf, out_pdf)
+        out_area = jnp.where(disk_ok & visible, disk_area, out_area)
+
+    if has_line:
+        # ---- line — CoreRef.cpp:3467-3506 ----
+        c2s = P - lpos
+        line_u = safe_normalize(cross(c2s, lv))
+        line_v2 = cross(line_u, lv)
+        phi = PI * r1
+        sphl, cphl = _sincos(phi)
+        line_n = cphl[:, None] * line_u + sphl[:, None] * line_v2
+        lp_line = lpos + line_n * radius[:, None] + (r2 - 0.5)[:, None] * lv * height[:, None]
+        lvec = lp_line - P
+        ldist = jnp.sqrt(jnp.maximum(dot(lvec, lvec, False), 1e-30))
+        lL = lvec / ldist[:, None]
+        line_area = 2.0 * PI * radius * height
+        lcos = 1.0 - jnp.abs(dot(lL, lv, False))
+        line_ok = (ltype == LightType.LINE) & (lcos != 0.0)
+        line_pdf = safe_div_pos(ldist * ldist, line_area * jnp.maximum(lcos, 1e-9))
+        out_L = jnp.where(line_ok[:, None], lL, out_L)
+        out_lp = jnp.where(line_ok[:, None], lp_line, out_lp)
+        out_pdf = jnp.where(line_ok, line_pdf, out_pdf)
+        out_area = jnp.where(line_ok & visible, line_area, out_area)
+
+    if has_tri:
+        # ---- triangle — CoreRef.cpp:3507-3577 (uniform area sampling) ----
+        if getattr(scene, "mode", "flatten") == "tlas":
+            # scene.vertices are object-space under instancing; the light
+            # table carries the world-space triangle
+            tp0, tp1, tp2 = read_packed(
+                [lights["tp0"], lights["tp1"], lights["tp2"]], idx, oh=oh
+            )
+        else:
+            tri = jnp.maximum(read_rows(lights["tri_index"], idx, oh=oh), 0)
+            trow = scene.tri_surf[tri]
+            tp0, tp1, tp2 = trow[:, 0:3], trow[:, 3:6], trow[:, 6:9]
+        tfwd = cross(tp1 - tp0, tp2 - tp0)
+        tfwd_len = jnp.sqrt(jnp.maximum(dot(tfwd, tfwd, False), 1e-30))
+        tri_fwd = tfwd / tfwd_len[:, None]
+        tri_area = 0.5 * tfwd_len
+        # spherical-triangle (Arvo) solid-angle sampling with uniform-area
+        # fallback (CoreRef.cpp:3530-3556)
+        st_pdf, st_L, st_ok = sample_spherical_triangle(P, tp0, tp1, tp2, r1, r2)
+        te1 = tp1 - tp0
+        te2 = tp2 - tp0
+        st_pvec = cross(st_L, te2)
+        st_tvec = P - tp0
+        st_qvec = cross(st_tvec, te1)
+        st_det = dot(te1, st_pvec, False)
+        st_inv = _safe_div_signed(1.0, st_det, 1e-12)
+        st_u = dot(st_tvec, st_pvec, False) * st_inv
+        st_v = dot(st_L, st_qvec, False) * st_inv
+        st_lp = (
+            (1.0 - st_u - st_v)[:, None] * tp0
+            + st_u[:, None] * tp1
+            + st_v[:, None] * tp2
+        )
+        sr1 = jnp.sqrt(jnp.maximum(r1, 0.0))
+        tlp_area = (
+            tp0 * (1.0 - sr1)[:, None]
+            + sr1[:, None] * (tp1 * (1.0 - r2)[:, None] + tp2 * r2[:, None])
+        )
+        tlp = jnp.where(st_ok[:, None], st_lp, tlp_area)
+        tvec = tlp - P
+        tdist = jnp.sqrt(jnp.maximum(dot(tvec, tvec, False), 1e-30))
+        tL = jnp.where(st_ok[:, None], st_L, tvec / tdist[:, None])
+        tcos = -dot(tL, tri_fwd, False)
+        tcos_eff = jnp.where(doublesided, jnp.abs(tcos), tcos)
+        tri_ok = (ltype == LightType.TRI) & (tcos_eff > 0.0)
+        tri_pdf = jnp.where(
+            st_ok,
+            st_pdf,
+            safe_div_pos(tdist * tdist, tri_area * jnp.maximum(tcos_eff, 1e-9)),
+        )
+        tri_side = jnp.where((tcos >= 0.0)[:, None], tri_fwd, -tri_fwd)
+        out_L = jnp.where(tri_ok[:, None], tL, out_L)
+        out_lp = jnp.where(tri_ok[:, None], offset_ray(tlp, tri_side), out_lp)
+        out_pdf = jnp.where(tri_ok, tri_pdf, out_pdf)
+        out_area = jnp.where(tri_ok, tri_area, out_area)
+
+    if has_env:
+        # ---- env — CoreRef.cpp:3578-3611: importance-sampled from the
+        # latlong CDF tables when a map exists, uniform hemisphere
+        # otherwise ----
+        if scene.env_tab_h > 0:
+            env_L, env_pdf_sa = sample_env_importance(scene, r1, r2)
+        else:
+            phi_e = 2.0 * PI * r2
+            spe, cpe = _sincos(phi_e)
+            de = jnp.sqrt(jnp.maximum(1.0 - r1 * r1, 0.0))
+            env_ts = jnp.stack([de * cpe, de * spe, r1], axis=-1)
+            env_L = world_from_tangent(T, B, N, env_ts)
+            env_pdf_sa = jnp.full(r1.shape, 0.5 / PI)
+        is_env = ltype == LightType.ENV
+        # the ENV light's table color is only used for pick-CDF weighting;
+        # actual radiance comes from env_color (constant × map) to avoid
+        # double counting
+        env_col_mult = env_color(scene, env_L)
+        out_col = jnp.where(is_env[:, None], env_col_mult, out_col)
+        out_L = jnp.where(is_env[:, None], env_L, out_L)
+        out_lp = jnp.where(is_env[:, None], P + env_L, out_lp)
+        out_pdf = jnp.where(is_env, env_pdf_sa, out_pdf)
+        out_area = jnp.where(is_env, 1.0, out_area)
+        out_distmul = jnp.where(is_env, MAX_DIST, out_distmul)
+        out_fromenv = out_fromenv | is_env
 
     # sky portals: a rect/disk "window" light that emits the environment
     # seen through it (reference CoreRef.cpp:3406-3419: ls.col *= env,
     # ls.from_env = 1) — only when any portal exists in the scene (static)
-    if any(p for (_k, _v, _d, p) in scene.light_kinds):
+    if has_portal:
         is_portal = portal & (
             (ltype == LightType.RECT) | (ltype == LightType.DISK)
         )

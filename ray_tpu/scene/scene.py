@@ -128,6 +128,14 @@ class SceneFlat:
     has_normal_maps: bool = dataclasses.field(
         default=True, metadata=dict(static=True)
     )
+    # sorted tuple of ShadingNode types present — kernels specialize per
+    # node-type set at trace time, the XLA analogue of the reference's
+    # per-feature-define shader variants (scripts/compile_shaders.py:155+,
+    # 212 compiled kernel permutations); node types are discrete data that
+    # gradients never touch, so specializing on them is semantics-preserving
+    mat_types: tuple = dataclasses.field(
+        default=(0, 1, 2, 3, 4, 5, 6), metadata=dict(static=True)
+    )
 
     @property
     def num_tris(self) -> int:
@@ -863,6 +871,9 @@ class Scene:
                 "has_normal_maps": any(
                     d.normal_map >= 0 for d in self._materials
                 ),
+                "mat_types": tuple(
+                    sorted({int(d.type) for d in self._materials})
+                ) or (ShadingNode.DIFFUSE,),
                 "light_kinds": tuple(
                     (int(d.type), bool(d.visible), bool(d.doublesided),
                      bool(d.sky_portal))

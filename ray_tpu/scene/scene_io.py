@@ -74,6 +74,8 @@ def load_scene(path: str) -> SceneFlat:
         kwargs["light_kinds"] = tuple(
             tuple(row) for row in kwargs["light_kinds"]
         )
+    if "mat_types" in kwargs:
+        kwargs["mat_types"] = tuple(kwargs["mat_types"])
     for name in meta["none"]:
         kwargs[name] = None
     for f in dataclasses.fields(SceneFlat):
