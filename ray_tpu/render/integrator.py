@@ -71,6 +71,10 @@ class PassSettings:
     # backprop — the detached RNG makes recomputation exact, trading HBM
     # residency of per-bounce residuals for re-running the bounce math
     remat: bool = False
+    # with remat, still save the (detached, expensive) traversal outputs so
+    # the backward replay recomputes only shade math and never re-walks the
+    # BVH — hit records are ~5 small (R,) arrays per bounce
+    remat_save_trace: bool = True
     # ePassFlags (reference Types.h:85-91).  The reference parses these into
     # camera_t (SceneCommon.cpp:94-98) but its v0.4.0 cores leave them inert
     # (the consuming pass_info_t is commented out, Core.h:453-474); here they
@@ -203,6 +207,15 @@ def render_tile(
     # of the reference's per-feature shader variants)
     feats = uber.mat_features(getattr(scene, "mat_types", None))
 
+    def _save(x):
+        """Tag a (detached) traversal output as a saved residual so the
+        remat backward replay skips the BVH walk (policy in render_tile)."""
+        if settings.remat and settings.remat_save_trace:
+            from jax.ad_checkpoint import checkpoint_name
+
+            return checkpoint_name(x, "trace")
+        return x
+
     def _trace_closest(ro, rd, t_min, t_max, active, mask):
         """Mode dispatch: flattened single-BVH vs two-level TLAS/BLAS.
         Returns (hit, inst) — inst is None in flatten mode."""
@@ -216,6 +229,7 @@ def render_tile(
                     ray_mask=mask if scene.has_visibility else None,
                     max_leaf=scene.max_leaf, stack_size=scene.stack_size,
                 )
+                h = jax.tree_util.tree_map(_save, h)
                 return h, h.inst
             h = trace_closest_soa(
                 scene.bvh_soa, scene.tri_soa, ro, rd, t_min, t_max, active,
@@ -223,24 +237,24 @@ def render_tile(
                 tri_vis=scene.tri_vis if scene.has_visibility else None,
                 ray_mask=mask if scene.has_visibility else None,
             )
-            return h, None
+            return jax.tree_util.tree_map(_save, h), None
 
     def _trace_occlusion(ro, rd, t_min, t_max, active):
         mask = jnp.full((R,), RAY_SHADOW, jnp.int32)
         with jax.named_scope("trace_shadow"):
             if is_tlas:
-                return trace_occlusion_tlas(
+                return _save(trace_occlusion_tlas(
                     scene.bvh_soa, scene.tri_soa, scene.inst,
                     ro, rd, t_min, t_max, active,
                     ray_mask=mask if scene.has_visibility else None,
                     max_leaf=scene.max_leaf, stack_size=scene.stack_size,
-                )
-            return trace_occlusion_soa(
+                ))
+            return _save(trace_occlusion_soa(
                 scene.bvh_soa, scene.tri_soa, ro, rd, t_min, t_max, active,
                 max_leaf=scene.max_leaf, stack_size=scene.stack_size,
                 tri_vis=scene.tri_vis if scene.has_visibility else None,
                 ray_mask=mask if scene.has_visibility else None,
-            )
+            ))
 
     def _trace_transmittance(ro, rd, dist, active):
         """Shadow-ray transparency loop (reference IntersectScene shadow,
@@ -704,7 +718,17 @@ def render_tile(
             jnp.zeros((R, 4, 3), jnp.float32),      # SH-L1 accumulator
         )
     n_iters = settings.max_total_depth + 1
-    body = jax.checkpoint(bounce_step) if settings.remat else bounce_step
+    if settings.remat:
+        # path-replay backprop: recompute the bounce in the backward pass —
+        # except the tagged traversal outputs (detached, expensive), which
+        # are saved so the replay never re-walks the BVH
+        policy = (
+            jax.checkpoint_policies.save_only_these_names("trace")
+            if settings.remat_save_trace else None
+        )
+        body = jax.checkpoint(bounce_step, policy=policy)
+    else:
+        body = bounce_step
     state, ys = jax.lax.scan(
         body, state0, jnp.arange(n_iters, dtype=jnp.int32)
     )
