@@ -75,6 +75,15 @@ class PassSettings:
     # the backward replay recomputes only shade math and never re-walks the
     # BVH — hit records are ~5 small (R,) arrays per bounce
     remat_save_trace: bool = True
+    # occupancy compaction (the TPU answer to the reference's ray-compaction
+    # counters + indirect dispatch, prepare_indir_args.comp.glsl): after
+    # ``compact_after`` full-width bounce iterations, if the surviving lanes
+    # fit in R // compact_factor, gather them to the front (one stable
+    # argsort) and run the remaining bounces on the dense head — with an
+    # exact full-width fallback branch (lax.cond) when they don't fit.
+    # Semantically a no-op; 0 disables.
+    compact_after: int = 4
+    compact_factor: int = 4
     # ePassFlags (reference Types.h:85-91).  The reference parses these into
     # camera_t (SceneCommon.cpp:94-98) but its v0.4.0 cores leave them inert
     # (the consuming pass_info_t is commented out, Core.h:453-474); here they
@@ -240,7 +249,7 @@ def render_tile(
             return jax.tree_util.tree_map(_save, h), None
 
     def _trace_occlusion(ro, rd, t_min, t_max, active):
-        mask = jnp.full((R,), RAY_SHADOW, jnp.int32)
+        mask = jnp.full(ro.shape[:1], RAY_SHADOW, jnp.int32)
         with jax.named_scope("trace_shadow"):
             if is_tlas:
                 return _save(trace_occlusion_tlas(
@@ -261,7 +270,8 @@ def render_tile(
         CoreRef.cpp:3160-3262): march through transparent surfaces
         multiplying their Mix-weighted colors; a solid-side hit zeroes the
         factor.  Returns (R, 3) transmittance."""
-        rc0 = jnp.ones((R, 3), jnp.float32)
+        Rl = ro.shape[0]
+        rc0 = jnp.ones((Rl, 3), jnp.float32)
 
         def cond(s):
             it, _ro, _dist, _rc, act = s
@@ -270,8 +280,8 @@ def render_tile(
         def body(s):
             it, ro_, dist_, rc_, act = s
             hit, _ = _trace_closest(
-                ro_, rd, jnp.zeros((R,), jnp.float32), dist_, act,
-                jnp.full((R,), RAY_SHADOW, jnp.int32),
+                ro_, rd, jnp.zeros((Rl,), jnp.float32), dist_, act,
+                jnp.full((Rl,), RAY_SHADOW, jnp.int32),
             )
             miss = hit.prim < 0
             row = surface_mod.fetch_tri_row(scene, hit.prim)
@@ -312,7 +322,8 @@ def render_tile(
     def bounce_step(state, bounce):
         (ro, rd, t_max, throughput, bsdf_pdf, active, depth, ior_stack,
          accum, aux_base, aux_dn, ray_mask, cone_width, cone_spread,
-         vertex_count, *sh_state) = state
+         vertex_count, seed, *sh_state) = state
+        Rl = ro.shape[0]  # may be < R after occupancy compaction
         if settings.output_sh:
             # sh_open: lane has not yet shaded its first real (non-
             # transparent) vertex; sh_dir: the BSDF direction sampled there
@@ -340,7 +351,7 @@ def render_tile(
             return acc + c
 
         hit, hit_inst = _trace_closest(
-            ro, rd, jnp.zeros((R,), jnp.float32), t_max, active, ray_mask
+            ro, rd, jnp.zeros((Rl,), jnp.float32), t_max, active, ray_mask
         )
         miss = hit.prim < 0
         total_depth = depth[:, 0] + depth[:, 1] + depth[:, 2]
@@ -350,8 +361,8 @@ def render_tile(
         # vertex on the path is "direct" (hit-type contributions: the light
         # is the hit itself, so total_depth ≤ 1; NEE: the vertex being
         # shaded is the 1 surface vertex, so total_depth == 0)
-        hit_keep = jnp.ones((R,), jnp.bool_)
-        nee_keep = jnp.ones((R,), jnp.bool_)
+        hit_keep = jnp.ones((Rl,), jnp.bool_)
+        nee_keep = jnp.ones((Rl,), jnp.bool_)
         if settings.skip_direct:
             hit_keep = hit_keep & (total_depth > 1)
             nee_keep = nee_keep & (total_depth > 0)
@@ -394,7 +405,7 @@ def render_tile(
             # pick probability of the env light as seen from the previous
             # path vertex (hierarchical when the light tree is on)
             env_light_pick_pdf = light_sampling.light_pick_pdf(
-                scene, ro, jnp.full((R,), scene.env_light_index, jnp.int32)
+                scene, ro, jnp.full((Rl,), scene.env_light_index, jnp.int32)
             )
             if scene.env_tab_h > 0:
                 light_pdf = light_sampling.env_hit_pdf(scene, rd) * env_light_pick_pdf
@@ -438,7 +449,7 @@ def render_tile(
 
         ext_ior = (
             _peek_ior(ior_stack, hit.backface) if feats.any_refr
-            else jnp.ones((R,), jnp.float32)
+            else jnp.ones((Rl,), jnp.float32)
         )
         mat_id, mix_rand, mix_weight = surface_mod.resolve_mix(
             scene, mat_id, surf.uv, mix_rx, rd, surf.N, ext_ior, hit.backface,
@@ -476,7 +487,7 @@ def render_tile(
         emis_mask = alive & params.is_emissive & (
             jnp.max(params.emission, axis=-1) > 0.0
         )
-        mis_w = jnp.ones((R,), jnp.float32)
+        mis_w = jnp.ones((Rl,), jnp.float32)
         if settings.use_nee and have_lights:
             lid = surface_mod.hit_light_id(scene, hit.prim, hit_inst, row=tri_row)
             lpick = light_sampling.light_pick_pdf(scene, ro, lid)
@@ -571,7 +582,7 @@ def render_tile(
                 accum = _add(accum, sh_contrib, nee_valid, w_dir=ls.L)
             else:
                 occluded = _trace_occlusion(
-                    sh_o, sh_d, jnp.zeros((R,), jnp.float32), sh_dist * 0.999,
+                    sh_o, sh_d, jnp.zeros((Rl,), jnp.float32), sh_dist * 0.999,
                     nee_valid & ls.cast_shadow,
                 )
                 visible = nee_valid & ((~ls.cast_shadow) | (~occluded))
@@ -636,7 +647,7 @@ def render_tile(
             next_active[:, None], new_throughput, throughput
         )
         bsdf_pdf = jnp.where(next_active, jnp.minimum(bs.pdf, 1e6), bsdf_pdf)
-        t_max = jnp.full((R,), MAX_DIST, jnp.float32)
+        t_max = jnp.full((Rl,), MAX_DIST, jnp.float32)
         depth_inc = jnp.stack(
             [is_diff, is_spec, is_refr, is_transp], axis=-1
         ).astype(jnp.int32)
@@ -668,7 +679,7 @@ def render_tile(
 
         new_state = (ro, rd, t_max, throughput, bsdf_pdf, next_active, depth,
                      ior_stack, accum, aux_base, aux_dn, ray_mask,
-                     cone_width, cone_spread, vertex_count)
+                     cone_width, cone_spread, vertex_count, seed)
         if settings.output_sh:
             # the first real (non-transparent) shaded vertex closes sh_open
             # and pins the arrival direction for deeper contributions
@@ -710,6 +721,7 @@ def render_tile(
         jnp.zeros((R,), jnp.float32),               # cone width (CoreRef.cpp:1538)
         jnp.broadcast_to(rays.cone_spread, (R,)).astype(jnp.float32),
         jnp.zeros((R,), jnp.int32),                 # cache vertex count
+        seed,                                       # per-lane RNG seed
     )
     if settings.output_sh:
         state0 = state0 + (
@@ -729,15 +741,56 @@ def render_tile(
         body = jax.checkpoint(bounce_step, policy=policy)
     else:
         body = bounce_step
-    state, ys = jax.lax.scan(
-        body, state0, jnp.arange(n_iters, dtype=jnp.int32)
+    # occupancy compaction applies when the tail exists and no per-bounce
+    # full-width ys are consumed downstream (cache update stacks (n, R, …))
+    c = settings.compact_after
+    do_compact = (
+        0 < c < n_iters
+        and settings.compact_factor > 1
+        and cache_mode != "update"
+        and not settings.output_sh
+        and R >= 1024
     )
+    if not do_compact:
+        state, ys = jax.lax.scan(
+            body, state0, jnp.arange(n_iters, dtype=jnp.int32)
+        )
+        n_traced_total = jnp.sum(ys["n_traced"])
+    else:
+        K = max(R // settings.compact_factor, 512)
+        state, ys1 = jax.lax.scan(
+            body, state0, jnp.arange(c, dtype=jnp.int32)
+        )
+        xs_tail = jnp.arange(c, n_iters, dtype=jnp.int32)
+
+        def full_tail(st):
+            st, ys2 = jax.lax.scan(body, st, xs_tail)
+            return st, jnp.sum(ys2["n_traced"])
+
+        def compact_tail(st):
+            act = st[5]
+            # stable sort: active lanes first, original order preserved —
+            # contributions scatter back to their own pixels afterwards
+            perm = jnp.argsort(~act, stable=True)
+            idx = jax.lax.stop_gradient(perm[:K])
+            head = jax.tree_util.tree_map(lambda a: a[idx], st)
+            head, ys2 = jax.lax.scan(body, head, xs_tail)
+            st = jax.tree_util.tree_map(
+                lambda full, h: full.at[idx].set(h, unique_indices=True),
+                st, head,
+            )
+            return st, jnp.sum(ys2["n_traced"])
+
+        n_act = jnp.sum(state[5].astype(jnp.int32))
+        state, n2 = jax.lax.cond(n_act <= K, compact_tail, full_tail, state)
+        n_traced_total = jnp.sum(ys1["n_traced"]) + n2
+
     accum, aux_base, aux_dn = state[8], state[9], state[10]
     out = {
         "color": accum,
         "base_color": aux_base,
         "depth_normal": aux_dn,
-        "rays_traced": jnp.sum(ys["n_traced"]),
+        "rays_traced": n_traced_total,
     }
     if settings.output_sh:
         # shl1_data_t analogue (Types.h:51): 4 SH-L1 coefficients × RGB
