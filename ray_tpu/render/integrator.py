@@ -81,8 +81,12 @@ class PassSettings:
     # fit in R // compact_factor, gather them to the front (one stable
     # argsort) and run the remaining bounces on the dense head — with an
     # exact full-width fallback branch (lax.cond) when they don't fit.
-    # Semantically a no-op; 0 disables.
-    compact_after: int = 4
+    # Semantically a no-op; 0 disables.  Default OFF: at the flagship's
+    # depth-5 budget the ~20 state-column gathers/scatters (plus their AD
+    # transposes) cost more than the two near-empty tail bounces they save
+    # (measured 16.3 → 13.8 Mray/s fwd+bwd at 1080p) — enable for deep
+    # path budgets (max_total_depth ≳ 10) where the tail dominates.
+    compact_after: int = 0
     compact_factor: int = 4
     # ePassFlags (reference Types.h:85-91).  The reference parses these into
     # camera_t (SceneCommon.cpp:94-98) but its v0.4.0 cores leave them inert
