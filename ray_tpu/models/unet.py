@@ -16,6 +16,7 @@ supports fitting on rendered pairs.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Sequence
 
@@ -83,17 +84,42 @@ def _pad_to(x, mult):
     return x, (h, w)
 
 
+# Trained weights (scripts/train_unet.py — fitted on self-rendered pairs;
+# the role of the reference's embedded OIDN blob, UNetFilter.cpp:12-13)
+WEIGHTS_PATH = os.path.join(
+    os.path.dirname(__file__), "weights", "unet_hdr_alb_nrm.npz"
+)
+
+
+def load_trained_params():
+    """Load the trained parameter pytree, or None when no weights exist."""
+    if not os.path.exists(WEIGHTS_PATH):
+        return None
+    import numpy as np
+    from flax.traverse_util import unflatten_dict
+
+    with np.load(WEIGHTS_PATH) as z:
+        flat = {tuple(k.split("/")): jnp.asarray(z[k]) for k in z.files}
+    return unflatten_dict(flat)
+
+
 class UNetFilter:
     """Driver-facing wrapper: init / denoise / (optional) train.
 
     The analogue of ``InitUNetFilter`` + the 16-pass DenoiseImage loop
     (RendererBase.h:250, RendererCPU.h:789-1010) — one call, one jit.
+    Loads the self-trained weights (scripts/train_unet.py) when present;
+    falls back to random init otherwise.
     """
 
-    def __init__(self, seed: int = 0):
+    def __init__(self, seed: int = 0, use_trained: bool = True):
         self.model = UNetDenoiser()
-        dummy = jnp.zeros((1, 64, 64, 9), jnp.float32)
-        self.params = self.model.init(jax.random.PRNGKey(seed), dummy)
+        trained = load_trained_params() if use_trained else None
+        if trained is not None:
+            self.params = trained
+        else:
+            dummy = jnp.zeros((1, 64, 64, 9), jnp.float32)
+            self.params = self.model.init(jax.random.PRNGKey(seed), dummy)
 
         @jax.jit
         def _apply(params, x):

@@ -569,7 +569,6 @@ def _pallas_mode(n_nodes: int, n_tris: int) -> str:
     return "xla"
 
 
-@partial(jax.jit, static_argnames=("max_leaf", "stack_size"))
 def trace_closest_soa(bvh, tris, ro, rd, t_min, t_max, active,
                       max_leaf: int = 4, stack_size: int = MAX_STACK_SIZE,
                       tri_vis=None, ray_mask=None):
@@ -586,6 +585,22 @@ def trace_closest_soa(bvh, tris, ro, rd, t_min, t_max, active,
       tri_vis/ray_mask: optional (T,)/(R,) i32 per-ray-type visibility —
         triangles whose mask shares no bit with the ray's are skipped.
     """
+    # resolve the Pallas/XLA mode OUTSIDE the jit boundary so the
+    # process-global ``set_force_xla`` toggle is re-read on every call
+    # (an inner-jit cache would pin the mode chosen at first trace)
+    mode = (
+        None if tri_vis is not None
+        else _pallas_mode(bvh["code0"].shape[0], tris["p0x"].shape[0])
+    )
+    return _trace_closest_soa_jit(
+        bvh, tris, ro, rd, t_min, t_max, active, tri_vis, ray_mask,
+        max_leaf=max_leaf, stack_size=stack_size, mode=mode,
+    )
+
+
+@partial(jax.jit, static_argnames=("max_leaf", "stack_size", "mode"))
+def _trace_closest_soa_jit(bvh, tris, ro, rd, t_min, t_max, active,
+                           tri_vis, ray_mask, *, max_leaf, stack_size, mode):
     wide = "wrows" in bvh
     if tri_vis is not None:
         if wide:
@@ -604,7 +619,6 @@ def trace_closest_soa(bvh, tris, ro, rd, t_min, t_max, active,
             v=jax.lax.stop_gradient(hit.v),
             backface=hit.backface,
         )
-    mode = _pallas_mode(bvh["code0"].shape[0], tris["p0x"].shape[0])
     if mode == "brute":
         from ray_tpu.ops.traverse_pallas import trace_brute_pallas
 
@@ -632,7 +646,6 @@ def trace_closest_soa(bvh, tris, ro, rd, t_min, t_max, active,
     )
 
 
-@partial(jax.jit, static_argnames=("max_leaf", "stack_size"))
 def trace_occlusion_soa(bvh, tris, ro, rd, t_min, t_max, active,
                         max_leaf: int = 4, stack_size: int = MAX_STACK_SIZE,
                         tri_vis=None, ray_mask=None):
@@ -642,6 +655,19 @@ def trace_occlusion_soa(bvh, tris, ro, rd, t_min, t_max, active,
     (internal/CoreRef.cpp:2135).  Alpha-tested/transparent occluders are
     handled a level up (shade stage); this kernel treats triangles as solid.
     """
+    mode = (
+        None if tri_vis is not None
+        else _pallas_mode(bvh["code0"].shape[0], tris["p0x"].shape[0])
+    )
+    return _trace_occlusion_soa_jit(
+        bvh, tris, ro, rd, t_min, t_max, active, tri_vis, ray_mask,
+        max_leaf=max_leaf, stack_size=stack_size, mode=mode,
+    )
+
+
+@partial(jax.jit, static_argnames=("max_leaf", "stack_size", "mode"))
+def _trace_occlusion_soa_jit(bvh, tris, ro, rd, t_min, t_max, active,
+                             tri_vis, ray_mask, *, max_leaf, stack_size, mode):
     wide = "wrows" in bvh
     if tri_vis is not None:
         if wide:
@@ -654,7 +680,6 @@ def trace_occlusion_soa(bvh, tris, ro, rd, t_min, t_max, active,
                             stack_size, any_hit=True, tri_vis=tri_vis,
                             ray_mask=ray_mask)
         return hit.prim >= 0
-    mode = _pallas_mode(bvh["code0"].shape[0], tris["p0x"].shape[0])
     if mode == "brute":
         from ray_tpu.ops.traverse_pallas import trace_brute_pallas
 

@@ -288,9 +288,13 @@ def render_tile(
                 jnp.full((Rl,), RAY_SHADOW, jnp.int32),
             )
             miss = hit.prim < 0
-            row = surface_mod.fetch_tri_row(scene, hit.prim)
+            row = surface_mod.fetch_tri_row(
+                scene, hit.prim,
+                keys=("solid_f", "solid_b", "uv0", "uv1", "uv2",
+                      "mat_f", "mat_b"),
+            )
             side_solid = jnp.where(
-                hit.backface, row[:, 27] > 0.5, row[:, 26] > 0.5
+                hit.backface, row["solid_b"] > 0.5, row["solid_f"] > 0.5
             )
             blocked = act & (~miss) & side_solid
             rc_ = jnp.where(blocked[:, None], 0.0, rc_)
@@ -298,9 +302,9 @@ def render_tile(
 
             w = (1.0 - hit.u - hit.v)[:, None]
             uv = (
-                w * row[:, 18:20]
-                + hit.u[:, None] * row[:, 20:22]
-                + hit.v[:, None] * row[:, 22:24]
+                w * row["uv0"]
+                + hit.u[:, None] * row["uv1"]
+                + hit.v[:, None] * row["uv2"]
             )
             mat_id = surface_mod.pick_hit_material(
                 scene, hit.prim, hit.backface, row=row

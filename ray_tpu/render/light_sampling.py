@@ -579,9 +579,11 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
                 [lights["tp0"], lights["tp1"], lights["tp2"]], idx, oh=oh
             )
         else:
+            from ray_tpu.render.surface import fetch_tri_pieces
+
             tri = jnp.maximum(read_rows(lights["tri_index"], idx, oh=oh), 0)
-            trow = scene.tri_surf[tri]
-            tp0, tp1, tp2 = trow[:, 0:3], trow[:, 3:6], trow[:, 6:9]
+            trow = fetch_tri_pieces(scene.tri_surf, tri, ("p0", "p1", "p2"))
+            tp0, tp1, tp2 = trow["p0"], trow["p1"], trow["p2"]
         tfwd = cross(tp1 - tp0, tp2 - tp0)
         tfwd_len = jnp.sqrt(jnp.maximum(dot(tfwd, tfwd, False), 1e-30))
         tri_fwd = tfwd / tfwd_len[:, None]
@@ -938,8 +940,12 @@ def tri_light_hit_pdf(scene, prim, t, I, pick_pdf_of_light, light_id=None,
             lid, oh=loh,
         )
     else:
-        trow = scene.tri_surf[jnp.maximum(prim, 0)]
-        p0, p1, p2 = trow[:, 0:3], trow[:, 3:6], trow[:, 6:9]
+        from ray_tpu.render.surface import fetch_tri_pieces
+
+        trow = fetch_tri_pieces(
+            scene.tri_surf, jnp.maximum(prim, 0), ("p0", "p1", "p2")
+        )
+        p0, p1, p2 = trow["p0"], trow["p1"], trow["p2"]
     fwd = cross(p1 - p0, p2 - p0)
     fwd_len = jnp.sqrt(jnp.maximum(dot(fwd, fwd, False), 1e-30))
     tri_fwd = fwd / fwd_len[:, None]

@@ -74,19 +74,66 @@ def hit_light_id(scene, prim, inst=None, row=None):
     the local ordinal in tlas mode, the global id in flatten mode)."""
     if row is None:
         row = fetch_tri_row(scene, prim)
-    ids = row[:, 28].astype(jnp.int32)
+    ids = row["light"].astype(jnp.int32)
     if scene.mode == "tlas":
         base = scene.inst["light_base"][jnp.maximum(inst, 0)]
         return jnp.where((ids >= 0) & (inst >= 0), base + ids, -1)
     return ids
 
 
-def fetch_tri_row(scene, prim):
-    """One (29,) packed surface row per hit (scene._pack_tri_surf): the
-    single gather that replaces the ~14 per-attribute ones — and a one-hot
-    MXU matmul instead of a gather for small scenes (ops/gather.py).
-    Gradients w.r.t. geometry flow through ``scene.tri_surf``."""
-    return scene.tri_surf[jnp.maximum(prim, 0)]
+# named pieces of the packed (T, 29) tri_surf row (scene._pack_tri_surf):
+# p0 p1 p2 | n0 n1 n2 | uv0 uv1 uv2 | mat_f mat_b | solid_f solid_b | light
+TRI_PIECES = {
+    "p0": (0, 3), "p1": (3, 6), "p2": (6, 9),
+    "n0": (9, 12), "n1": (12, 15), "n2": (15, 18),
+    "uv0": (18, 20), "uv1": (20, 22), "uv2": (22, 24),
+    "mat_f": (24, 25), "mat_b": (25, 26),
+    "solid_f": (26, 27), "solid_b": (27, 28),
+    "light": (28, 29),
+}
+
+
+def fetch_tri_pieces(table, prim, keys, onehot_max=128):
+    """Per-hit reads of named pieces of a packed (T, C) row table.
+
+    Measured on-chip (1080p wavefront, 2-Mray): the former single (R, 29)
+    row gather materializes the padded row buffer plus a layout transpose
+    and copies — ~19 ms — while per-piece reads cost 0.44 ms as one-hot
+    MXU matmuls (T ≤ 128; VJP is also a matmul) and 0.95 ms as per-column
+    1-D takes (any T).  Returns {key: (R, k) or (R,)} — scalar pieces
+    (k == 1) are squeezed.
+    """
+    i = jnp.maximum(prim, 0)
+    T = table.shape[0]
+    out = {}
+    if T <= onehot_max:
+        from ray_tpu.ops.gather import one_hot_f32
+
+        oh = one_hot_f32(i, T)
+        for k in keys:
+            a, b = TRI_PIECES[k]
+            v = jnp.dot(oh, table[:, a:b],
+                        preferred_element_type=jnp.float32)
+            out[k] = v[:, 0] if b - a == 1 else v
+    else:
+        for k in keys:
+            a, b = TRI_PIECES[k]
+            if b - a == 1:
+                out[k] = jnp.take(table[:, a], i)
+            else:
+                out[k] = jnp.stack(
+                    [jnp.take(table[:, j], i) for j in range(a, b)], axis=-1
+                )
+    return out
+
+
+def fetch_tri_row(scene, prim, keys=None):
+    """Per-hit surface attributes as a dict of named pieces (see
+    ``TRI_PIECES``).  Gradients w.r.t. geometry flow through
+    ``scene.tri_surf``.  ``keys``: subset to fetch (default: all)."""
+    return fetch_tri_pieces(
+        scene.tri_surf, prim, tuple(TRI_PIECES) if keys is None else keys
+    )
 
 
 def compute_surface(scene, prim, u, v, backface, ro, rd, t, inst=None,
@@ -101,9 +148,9 @@ def compute_surface(scene, prim, u, v, backface, ro, rd, t, inst=None,
     """
     if row is None:
         row = fetch_tri_row(scene, prim)
-    p0, p1, p2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
-    n0, n1, n2 = row[:, 9:12], row[:, 12:15], row[:, 15:18]
-    uv0, uv1, uv2 = row[:, 18:20], row[:, 20:22], row[:, 22:24]
+    p0, p1, p2 = row["p0"], row["p1"], row["p2"]
+    n0, n1, n2 = row["n0"], row["n1"], row["n2"]
+    uv0, uv1, uv2 = row["uv0"], row["uv1"], row["uv2"]
     if scene.mode == "tlas":
         ii = jnp.maximum(inst, 0)
         p0 = _inst_xform_point(scene.inst, ii, p0)
@@ -155,8 +202,8 @@ def pick_hit_material(scene, prim, backface, row=None):
     ShadeRef.cpp:1256-1266). Returns -1 where no material applies."""
     if row is None:
         row = fetch_tri_row(scene, prim)
-    front = row[:, 24].astype(jnp.int32)
-    back = row[:, 25].astype(jnp.int32)
+    front = row["mat_f"].astype(jnp.int32)
+    back = row["mat_b"].astype(jnp.int32)
     return jnp.where(backface, back, front)
 
 

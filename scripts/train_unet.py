@@ -1,0 +1,167 @@
+"""Train the UNet denoiser on self-rendered noisy/clean pairs.
+
+The reference ships Intel OIDN's pretrained "hdr_alb_nrm" weights as an
+embedded blob (internal/UNetFilter.cpp:12-13); that blob is stripped from
+this checkout and the build environment has no network egress, so we do what
+OIDN itself does — supervised training on (noisy, albedo, normal) → clean
+render pairs — using our own renderer as the data source.
+
+Data: procedurally varied Cornell/furnace scenes (materials, light types,
+light power, wall colors) rendered with the wavefront integrator: inputs at
+``NOISY_SPP`` spp + first-hit AUX buffers, targets at ``CLEAN_SPP`` spp.
+Training follows OIDN's recipe in spirit: log-transfer on HDR color, L1
+loss, random exposure scaling so the filter is exposure-equivariant.
+
+Run on TPU (~10 min):  python scripts/train_unet.py
+Weights land in ray_tpu/models/weights/unet_hdr_alb_nrm.npz, which
+``UNetFilter`` auto-loads at construction.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ray_tpu.models.unet import UNetDenoiser, hdr_transfer, WEIGHTS_PATH
+from ray_tpu.render.integrator import PassSettings
+from ray_tpu.render.renderer import Renderer, RenderSettings
+from ray_tpu.scene.materials import MaterialDesc, ShadingNode
+from ray_tpu.utils.test_scenes import cornell_scene
+
+H = W = 256
+NOISY_SPP = 4
+CLEAN_SPP = 512
+STEPS = 1500
+BATCH = 4
+LR = 1e-3
+
+
+def scene_pool(rng: np.random.Generator):
+    """Procedurally varied training scenes."""
+    mats = [
+        None,  # default diffuse box
+        MaterialDesc(type=ShadingNode.PRINCIPLED, base_color=(0.9, 0.7, 0.3),
+                     metallic=1.0, roughness=0.25),
+        MaterialDesc(type=ShadingNode.PRINCIPLED, base_color=(0.2, 0.4, 0.9),
+                     roughness=0.6, specular=0.8),
+        MaterialDesc(type=ShadingNode.GLOSSY, base_color=(0.8, 0.8, 0.8),
+                     roughness=0.15),
+        MaterialDesc(type=ShadingNode.REFRACTIVE, base_color=(0.95, 0.95, 0.95),
+                     roughness=0.05, ior=1.45),
+        MaterialDesc(type=ShadingNode.PRINCIPLED,
+                     base_color=tuple(rng.uniform(0.2, 0.9, 3)),
+                     metallic=float(rng.uniform(0, 1)),
+                     roughness=float(rng.uniform(0.05, 0.8))),
+    ]
+    lights = ["emissive_quad", "rect", "sphere", "env"]
+    for m in mats:
+        for lk in lights:
+            power = float(rng.uniform(8.0, 40.0))
+            yield lk, m, power
+
+
+def render_pair(light_kind, box_mat, power):
+    sc, cam = cornell_scene(light_kind, box_material=box_mat,
+                            light_power=power)
+    scene = sc.finalize()
+    ps = PassSettings(max_total_depth=5, min_total_depth=2)
+    r = Renderer(RenderSettings(width=W, height=H), ps)
+    r.render(scene, cam, NOISY_SPP)
+    noisy = np.asarray(r.radiance_image())
+    alb = np.asarray(r.aux_base).reshape(H, W, 3)
+    nrm = np.asarray(r.aux_dn).reshape(H, W, 4)[..., :3]
+    r.clear()
+    r.render(scene, cam, CLEAN_SPP)
+    clean = np.asarray(r.radiance_image())
+    return noisy, alb, nrm, clean
+
+
+def main():
+    rng = np.random.default_rng(0)
+    data = []
+    t0 = time.time()
+    for i, (lk, m, p) in enumerate(scene_pool(rng)):
+        data.append(render_pair(lk, m, p))
+        print(f"[{time.time()-t0:6.1f}s] rendered scene {i} ({lk})",
+              flush=True)
+    noisy = jnp.asarray(np.stack([d[0] for d in data]))
+    alb = jnp.asarray(np.stack([d[1] for d in data]))
+    nrm = jnp.asarray(np.stack([d[2] for d in data]))
+    clean = jnp.asarray(np.stack([d[3] for d in data]))
+    n = noisy.shape[0]
+    print(f"dataset: {n} images {noisy.shape[1:]}", flush=True)
+
+    import optax
+
+    model = UNetDenoiser()
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 9), jnp.float32))
+    opt = optax.adam(optax.cosine_decay_schedule(LR, STEPS))
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        ki, ke = jax.random.split(key)
+        idx = jax.random.randint(ki, (BATCH,), 0, n)
+        # random exposure augmentation: the filter must commute with
+        # exposure (OIDN trains the same way)
+        expo = jnp.exp(jax.random.uniform(ke, (BATCH, 1, 1, 1),
+                                          minval=-2.0, maxval=2.0))
+        nz = noisy[idx] * expo
+        cl = clean[idx] * expo
+        x = jnp.concatenate(
+            [hdr_transfer(nz), alb[idx], nrm[idx] * 0.5 + 0.5], axis=-1
+        )
+
+        def loss_fn(p):
+            y = model.apply(p, x)
+            return jnp.mean(jnp.abs(y - hdr_transfer(cl)))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    key = jax.random.PRNGKey(1)
+    for i in range(STEPS):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k)
+        if i % 100 == 0:
+            print(f"[{time.time()-t0:6.1f}s] step {i}: loss {float(loss):.5f}",
+                  flush=True)
+
+    flat = jax.tree_util.tree_map(np.asarray, params)
+    from flax.traverse_util import flatten_dict
+
+    out = {"/".join(k): v for k, v in flatten_dict(flat).items()}
+    os.makedirs(os.path.dirname(WEIGHTS_PATH), exist_ok=True)
+    np.savez_compressed(WEIGHTS_PATH, **out)
+    print(f"saved {WEIGHTS_PATH} ({len(out)} arrays)", flush=True)
+
+    # quick self-check: PSNR of denoised vs clean must beat noisy vs clean
+    from ray_tpu.models.unet import UNetFilter
+
+    f = UNetFilter()
+    i = 0
+    den = np.asarray(f.denoise(noisy[i], alb[i], nrm[i]))
+
+    def psnr(a, b):
+        a = np.clip(a, 0, 1) ** (1 / 2.2)
+        b = np.clip(b, 0, 1) ** (1 / 2.2)
+        return -10 * np.log10(np.mean((a - b) ** 2) + 1e-12)
+
+    p_noisy = psnr(np.asarray(noisy[i]), np.asarray(clean[i]))
+    p_den = psnr(den, np.asarray(clean[i]))
+    print(f"PSNR noisy {p_noisy:.2f} dB -> denoised {p_den:.2f} dB",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
