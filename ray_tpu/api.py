@@ -168,10 +168,12 @@ def create_renderer(
     )
     if backend == RendererType.REF:
         # force the plain-XLA compute path (no Pallas kernels) — the
-        # executable spec other backends are parity-tested against
-        from ray_tpu.ops.traverse import set_force_xla
+        # executable spec other backends are parity-tested against.
+        # Scoped to this renderer's PassSettings: a TPU renderer created
+        # afterwards keeps its Pallas fast path.
+        import dataclasses as _dc
 
-        set_force_xla(True)
+        pass_settings = _dc.replace(pass_settings, force_xla=True)
     r = Renderer(settings, pass_settings)
     r.backend_type = backend
     r.device = device

@@ -21,7 +21,13 @@ not fit).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# One-hot selection is a single-term sum per output, but the TPU default
+# matmul precision rounds the *table* operand to bf16 (~8-bit mantissa);
+# HIGHEST keeps f32 table values (positions, normals, ids) exact.
+_EXACT = jax.lax.Precision.HIGHEST
 
 # (R, M) one-hot operands stay small: at 2 Mrays and M = 128 the operand is
 # 1 GB in f32 — XLA fuses the iota-compare into the matmul so the practical
@@ -46,7 +52,7 @@ def read_rows(table, idx, oh=None):
         oh = one_hot_f32(idx, m)
     t2 = table[:, None] if table.ndim == 1 else table
     out = jnp.dot(oh, t2.astype(jnp.float32),
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32, precision=_EXACT)
     if table.ndim == 1:
         out = out[:, 0]
     if jnp.issubdtype(table.dtype, jnp.integer) or table.dtype == jnp.bool_:
@@ -73,7 +79,8 @@ def read_packed(columns, idx, oh=None):
     if m <= ONEHOT_MAX:
         if oh is None:
             oh = one_hot_f32(idx, m)
-        vals = jnp.dot(oh, packed, preferred_element_type=jnp.float32)
+        vals = jnp.dot(oh, packed, preferred_element_type=jnp.float32,
+                       precision=_EXACT)
     else:
         vals = packed[idx]
     out = []

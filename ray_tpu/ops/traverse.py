@@ -557,8 +557,11 @@ def set_force_xla(value: bool) -> None:
     _FORCE_XLA = bool(value)
 
 
-def _pallas_mode(n_nodes: int, n_tris: int) -> str:
-    if _FORCE_XLA or jax.default_backend() != "tpu":
+def _pallas_mode(n_nodes: int, n_tris: int, force_xla=None) -> str:
+    # per-call override (threaded from PassSettings.force_xla — one REF
+    # renderer no longer disables Pallas for every renderer in the process)
+    # OR the process-global escape hatch used by tests/profilers
+    if force_xla or _FORCE_XLA or jax.default_backend() != "tpu":
         return "xla"
     from ray_tpu.ops import traverse_pallas as tp
 
@@ -571,7 +574,7 @@ def _pallas_mode(n_nodes: int, n_tris: int) -> str:
 
 def trace_closest_soa(bvh, tris, ro, rd, t_min, t_max, active,
                       max_leaf: int = 4, stack_size: int = MAX_STACK_SIZE,
-                      tri_vis=None, ray_mask=None):
+                      tri_vis=None, ray_mask=None, force_xla=None):
     """Closest-hit trace against SoA-packed BVH + triangle columns.
 
     Dispatches to the Pallas VMEM kernels on TPU for scenes that fit
@@ -586,11 +589,14 @@ def trace_closest_soa(bvh, tris, ro, rd, t_min, t_max, active,
         triangles whose mask shares no bit with the ray's are skipped.
     """
     # resolve the Pallas/XLA mode OUTSIDE the jit boundary so the
-    # process-global ``set_force_xla`` toggle is re-read on every call
-    # (an inner-jit cache would pin the mode chosen at first trace)
+    # ``set_force_xla`` toggle is re-read on every *eager/top-level* call
+    # (an inner-jit cache would pin the mode chosen at first trace; callers
+    # that trace inside an enclosing jit still bake the mode into that outer
+    # compilation — the renderer threads PassSettings.force_xla for that)
     mode = (
         None if tri_vis is not None
-        else _pallas_mode(bvh["code0"].shape[0], tris["p0x"].shape[0])
+        else _pallas_mode(bvh["code0"].shape[0], tris["p0x"].shape[0],
+                          force_xla)
     )
     return _trace_closest_soa_jit(
         bvh, tris, ro, rd, t_min, t_max, active, tri_vis, ray_mask,
@@ -648,7 +654,7 @@ def _trace_closest_soa_jit(bvh, tris, ro, rd, t_min, t_max, active,
 
 def trace_occlusion_soa(bvh, tris, ro, rd, t_min, t_max, active,
                         max_leaf: int = 4, stack_size: int = MAX_STACK_SIZE,
-                        tri_vis=None, ray_mask=None):
+                        tri_vis=None, ray_mask=None, force_xla=None):
     """Any-hit (shadow) trace: returns (R,) bool ``occluded``.
 
     Early-out per ray mirroring the reference's AnyHit traversal
@@ -657,7 +663,8 @@ def trace_occlusion_soa(bvh, tris, ro, rd, t_min, t_max, active,
     """
     mode = (
         None if tri_vis is not None
-        else _pallas_mode(bvh["code0"].shape[0], tris["p0x"].shape[0])
+        else _pallas_mode(bvh["code0"].shape[0], tris["p0x"].shape[0],
+                          force_xla)
     )
     return _trace_occlusion_soa_jit(
         bvh, tris, ro, rd, t_min, t_max, active, tri_vis, ray_mask,

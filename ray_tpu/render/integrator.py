@@ -99,6 +99,10 @@ class PassSettings:
     lighting_only: bool = False  # LightingOnly: white albedo at primary hit
     no_background: bool = False  # NoBackground: env invisible to camera rays
     output_sh: bool = False      # OutputSH: accumulate SH-L1 radiance AUX
+    # per-renderer Pallas opt-out (RendererType.REF): scoped to this render,
+    # unlike the process-global ops.traverse.set_force_xla escape hatch — a
+    # TPU renderer created after a REF one keeps its Pallas fast path
+    force_xla: bool = False
 
 
 def _sh_l1_basis(w):
@@ -249,6 +253,7 @@ def render_tile(
                 max_leaf=scene.max_leaf, stack_size=scene.stack_size,
                 tri_vis=scene.tri_vis if scene.has_visibility else None,
                 ray_mask=mask if scene.has_visibility else None,
+                force_xla=settings.force_xla,
             )
             return jax.tree_util.tree_map(_save, h), None
 
@@ -267,6 +272,7 @@ def render_tile(
                 max_leaf=scene.max_leaf, stack_size=scene.stack_size,
                 tri_vis=scene.tri_vis if scene.has_visibility else None,
                 ray_mask=mask if scene.has_visibility else None,
+                force_xla=settings.force_xla,
             ))
 
     def _trace_transmittance(ro, rd, dist, active):

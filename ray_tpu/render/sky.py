@@ -10,9 +10,10 @@ Everything is pure jnp, so sky radiance is differentiable w.r.t. every
 atmosphere parameter and the sun direction (the samples/05_physical_sky
 optimization config in BASELINE.json).
 
-Omissions vs the reference this round (documented in docs/ROADMAP.md):
-volumetric cloud layers, cirrus, moon and stars (the reference precomputes
-those from baked noise/image tables).
+Extras beyond the base atmosphere (implemented below, procedurally instead
+of the reference's baked noise/image tables): volumetric cloud layers,
+cirrus, moon disc and stars — see ``_clouds_*`` / ``_moon_*`` / ``_stars``
+and tests/test_sky_extras.py.
 """
 
 from __future__ import annotations

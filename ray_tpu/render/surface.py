@@ -106,14 +106,21 @@ def fetch_tri_pieces(table, prim, keys, onehot_max=128):
     i = jnp.maximum(prim, 0)
     T = table.shape[0]
     out = {}
+    # Columns consumed as integers downstream (material/light ids): round
+    # before callers .astype(int32) so a value that lands at x-eps does not
+    # truncate to x-1 and select the wrong material/light.
+    int_keys = ("mat_f", "mat_b", "solid_f", "solid_b", "light")
     if T <= onehot_max:
-        from ray_tpu.ops.gather import one_hot_f32
+        from ray_tpu.ops.gather import _EXACT, one_hot_f32
 
         oh = one_hot_f32(i, T)
         for k in keys:
             a, b = TRI_PIECES[k]
             v = jnp.dot(oh, table[:, a:b],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=_EXACT)
+            if k in int_keys:
+                v = jnp.round(v)
             out[k] = v[:, 0] if b - a == 1 else v
     else:
         for k in keys:

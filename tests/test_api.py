@@ -73,8 +73,10 @@ def test_factory_device_regex_fallthrough():
 
 
 def test_ref_renderer_end_to_end():
-    """REF backend renders the furnace scene correctly through the facade
-    (and restores the Pallas switch afterwards)."""
+    """REF backend renders the furnace scene correctly through the facade.
+    The Pallas opt-out is scoped to this renderer's PassSettings — the
+    process-global toggle stays untouched, so a TPU renderer created
+    afterwards keeps its fast path."""
     from ray_tpu.ops import traverse
     from ray_tpu.scene.materials import MaterialDesc, ShadingNode
     from ray_tpu.utils.test_scenes import furnace_scene
@@ -83,21 +85,19 @@ def test_ref_renderer_end_to_end():
         MaterialDesc(type=ShadingNode.DIFFUSE, base_color=(0.5, 0.5, 0.5))
     )
     scene = sc.finalize()
-    try:
-        r = create_renderer(
-            ray_tpu.RenderSettings(width=16, height=16),
-            ray_tpu.PassSettings(max_total_depth=3, min_total_depth=3),
-            enabled_types=(RendererType.REF,),
-        )
-        assert r.backend_type == "ref"
-        assert traverse._FORCE_XLA
-        img = r.render(scene, cam, samples=4)
-        center = img[6:10, 6:10]
-        assert np.isfinite(img).all()
-        # furnace: sphere pixels ≈ albedo × env… loosely (few samples)
-        assert 0.2 < float(center.mean()) < 0.8
-    finally:
-        traverse.set_force_xla(False)
+    r = create_renderer(
+        ray_tpu.RenderSettings(width=16, height=16),
+        ray_tpu.PassSettings(max_total_depth=3, min_total_depth=3),
+        enabled_types=(RendererType.REF,),
+    )
+    assert r.backend_type == "ref"
+    assert r.pass_settings.force_xla
+    assert not traverse._FORCE_XLA
+    img = r.render(scene, cam, samples=4)
+    center = img[6:10, 6:10]
+    assert np.isfinite(img).all()
+    # furnace: sphere pixels ≈ albedo × env… loosely (few samples)
+    assert 0.2 < float(center.mean()) < 0.8
 
 
 def test_version():

@@ -1,0 +1,758 @@
+// Golden-image generator for the ray_tpu parity harness.
+//
+// Links against a local CPU-only build of the reference renderer
+// (/root/reference, built under build/ref — see tools/golden/build.sh) and
+// renders converged goldens for the material-test battery extracted into
+// tests/goldens/manifest.json.  The scene construction mirrors the
+// reference's own test scene (tests/test_scene.cpp:228-1009) with one
+// substitution: the stripped env.bin/env_floor.bin backdrop meshes are
+// replaced by tests/goldens/meshes/env_sub.bin / env_floor_sub.bin
+// (tools/golden/make_env_mesh.py), which the ray_tpu side loads as well —
+// so golden comparisons are exact on identical scene definitions.
+//
+// Usage: golden_gen <out_dir> [name_filter] [arch] [spp_override]
+//   arch: REF | SSE41 | AVX | AVX2 | AVX512 (default AVX512)
+
+#include <cmath>
+#include <cstdio>
+#include <cstring>
+
+#include <functional>
+#include <memory>
+#include <string>
+#include <vector>
+
+#include "Ray.h"
+#include "internal/TextureUtils.h" // WriteTGA
+#include "tests/thread_pool.h"
+#include "tests/utils.h" // LoadBIN / LoadTGA / LoadDDS
+
+struct Field {
+    const char *key;
+    float v[3];
+    int n;
+};
+
+struct TestSpec {
+    const char *name;
+    const char *scene;
+    const char *mat_kind; // "node" | "principled"
+    const char *mat_type; // shading-node type when mat_kind == node
+    int golden_spp;
+    int test_spp;
+    std::vector<Field> fields;
+    std::vector<const char *> textures;
+};
+
+static const TestSpec g_tests[] = {
+#include "golden_table.inc"
+};
+
+static std::string g_meshes_dir;   // tests/goldens/meshes
+static std::string g_ref_data_dir; // /root/reference/tests
+
+// ---------------------------------------------------------------------------
+// texture loading (mirrors tests/test_scene.cpp:46-226 load_needed_textures)
+// ---------------------------------------------------------------------------
+
+static Ray::TextureHandle load_texture(Ray::SceneBase &scene, const char *path,
+                                       const char *role) {
+    const std::string full = g_ref_data_dir + "/" + path;
+    int w = 0, h = 0, mips = 1;
+    Ray::eTextureFormat format = Ray::eTextureFormat::RGB888;
+    Ray::eTextureConvention convention = Ray::eTextureConvention::OGL;
+    std::vector<uint8_t> data;
+
+    const bool is_color = strcmp(role, "base") == 0;
+    const bool is_normal = strcmp(role, "normal") == 0;
+    const bool single_channel = !is_color && !is_normal;
+
+    if (strstr(path, ".tga")) {
+        data = LoadTGA(full.c_str(), true /* flip_y */, w, h);
+        if (data.empty()) {
+            fprintf(stderr, "missing texture %s\n", full.c_str());
+            exit(2);
+        }
+        if (single_channel) {
+            for (int i = 0; i < w * h; ++i) {
+                data[i] = data[4 * i + 0];
+            }
+            format = Ray::eTextureFormat::R8;
+        } else {
+            for (int i = 0; i < w * h; ++i) {
+                data[3 * i + 0] = data[4 * i + 0];
+                data[3 * i + 1] = data[4 * i + 1];
+                data[3 * i + 2] = data[4 * i + 2];
+            }
+        }
+    } else if (strstr(path, ".dds")) {
+        int channels = 0;
+        data = LoadDDS(full.c_str(), w, h, mips, channels);
+        if (data.empty()) {
+            fprintf(stderr, "missing texture %s\n", full.c_str());
+            exit(2);
+        }
+        convention = Ray::eTextureConvention::DX;
+        format = (channels == 3)   ? Ray::eTextureFormat::BC1
+                 : (channels == 2) ? Ray::eTextureFormat::BC5
+                                   : Ray::eTextureFormat::BC4;
+    }
+
+    Ray::tex_desc_t td;
+    td.format = format;
+    td.convention = convention;
+    td.mips_count = mips;
+    td.data = data;
+    td.w = w;
+    td.h = h;
+    td.is_srgb = is_color;
+    td.is_normalmap = is_normal;
+    td.generate_mipmaps = !is_normal && !strstr(path, ".dds");
+    return scene.AddTexture(td);
+}
+
+template <typename Desc>
+static void resolve_texture_slot(Ray::SceneBase &scene, const TestSpec &t,
+                                 Ray::TextureHandle &slot, const char *role) {
+    if (slot == Ray::InvalidTextureHandle) {
+        return;
+    }
+    const int idx = int(slot._index);
+    if (idx >= int(t.textures.size())) {
+        fprintf(stderr, "%s: texture slot %d out of range\n", t.name, idx);
+        exit(2);
+    }
+    slot = load_texture(scene, t.textures[idx], role);
+}
+
+// ---------------------------------------------------------------------------
+// material construction from the manifest field list
+// ---------------------------------------------------------------------------
+
+static Ray::MaterialHandle make_main_material(Ray::SceneBase &scene,
+                                              const TestSpec &t) {
+    auto f3 = [&](const char *k, float def0, float def1,
+                  float def2) -> std::array<float, 3> {
+        for (const Field &f : t.fields) {
+            if (strcmp(f.key, k) == 0 && f.n == 3) {
+                return {f.v[0], f.v[1], f.v[2]};
+            }
+        }
+        return {def0, def1, def2};
+    };
+    auto f1 = [&](const char *k, float def) -> float {
+        for (const Field &f : t.fields) {
+            if (strcmp(f.key, k) == 0 && f.n == 1) {
+                return f.v[0];
+            }
+        }
+        return def;
+    };
+    auto ftex = [&](const char *k) -> Ray::TextureHandle {
+        for (const Field &f : t.fields) {
+            if (strcmp(f.key, k) == 0) {
+                return Ray::TextureHandle{uint32_t(f.v[0])};
+            }
+        }
+        return Ray::InvalidTextureHandle;
+    };
+
+    if (strcmp(t.mat_kind, "node") == 0) {
+        Ray::shading_node_desc_t d;
+        if (strcmp(t.mat_type, "diffuse") == 0) {
+            d.type = Ray::eShadingNode::Diffuse;
+        } else if (strcmp(t.mat_type, "glossy") == 0) {
+            d.type = Ray::eShadingNode::Glossy;
+        } else if (strcmp(t.mat_type, "refractive") == 0) {
+            d.type = Ray::eShadingNode::Refractive;
+        } else if (strcmp(t.mat_type, "emissive") == 0) {
+            d.type = Ray::eShadingNode::Emissive;
+        } else if (strcmp(t.mat_type, "transparent") == 0) {
+            d.type = Ray::eShadingNode::Transparent;
+        } else {
+            fprintf(stderr, "bad node type %s\n", t.mat_type);
+            exit(2);
+        }
+        const auto bc = f3("base_color", 1, 1, 1);
+        memcpy(d.base_color, bc.data(), sizeof(d.base_color));
+        d.roughness = f1("roughness", 0);
+        d.anisotropic = f1("anisotropic", 0);
+        d.anisotropic_rotation = f1("anisotropic_rotation", 0);
+        d.sheen = f1("sheen", 0);
+        d.specular = f1("specular", 0);
+        d.strength = f1("strength", 1);
+        d.ior = f1("ior", 1);
+        d.tint = f1("tint", 0);
+        d.base_texture = ftex("base_texture");
+        d.normal_map = ftex("normal_map");
+        d.roughness_texture = ftex("roughness_texture");
+        d.metallic_texture = ftex("metallic_texture");
+        resolve_texture_slot<decltype(d)>(scene, t, d.base_texture, "base");
+        resolve_texture_slot<decltype(d)>(scene, t, d.normal_map, "normal");
+        resolve_texture_slot<decltype(d)>(scene, t, d.roughness_texture,
+                                          "single");
+        resolve_texture_slot<decltype(d)>(scene, t, d.metallic_texture,
+                                          "single");
+        return scene.AddMaterial(d);
+    }
+
+    Ray::principled_mat_desc_t d;
+    const auto bc = f3("base_color", 1, 1, 1);
+    memcpy(d.base_color, bc.data(), sizeof(d.base_color));
+    d.metallic = f1("metallic", 0);
+    d.specular = f1("specular", 0.5f);
+    d.specular_tint = f1("specular_tint", 0);
+    d.roughness = f1("roughness", 0.5f);
+    d.anisotropic = f1("anisotropic", 0);
+    d.anisotropic_rotation = f1("anisotropic_rotation", 0);
+    d.sheen = f1("sheen", 0);
+    d.sheen_tint = f1("sheen_tint", 0.5f);
+    d.clearcoat = f1("clearcoat", 0);
+    d.clearcoat_roughness = f1("clearcoat_roughness", 0);
+    d.ior = f1("ior", 1.45f);
+    d.transmission = f1("transmission", 0);
+    d.transmission_roughness = f1("transmission_roughness", 0);
+    const auto em = f3("emission_color", 0, 0, 0);
+    memcpy(d.emission_color, em.data(), sizeof(d.emission_color));
+    d.emission_strength = f1("emission_strength", 1);
+    d.alpha = f1("alpha", 1);
+    d.normal_map_intensity = f1("normal_map_intensity", 1);
+    d.base_texture = ftex("base_texture");
+    d.normal_map = ftex("normal_map");
+    d.roughness_texture = ftex("roughness_texture");
+    d.metallic_texture = ftex("metallic_texture");
+    d.alpha_texture = ftex("alpha_texture");
+    resolve_texture_slot<decltype(d)>(scene, t, d.base_texture, "base");
+    resolve_texture_slot<decltype(d)>(scene, t, d.normal_map, "normal");
+    resolve_texture_slot<decltype(d)>(scene, t, d.roughness_texture, "single");
+    resolve_texture_slot<decltype(d)>(scene, t, d.metallic_texture, "single");
+    resolve_texture_slot<decltype(d)>(scene, t, d.alpha_texture, "single");
+    return scene.AddMaterial(d);
+}
+
+// ---------------------------------------------------------------------------
+// scene construction (data mirrors tests/test_scene.cpp:228-1009)
+// ---------------------------------------------------------------------------
+
+static Ray::MeshHandle add_bin_mesh(
+    Ray::SceneBase &scene, const std::string &path,
+    const std::vector<std::pair<Ray::MaterialHandle, Ray::MaterialHandle>>
+        &group_mats) {
+    auto [attrs, indices, groups] = LoadBIN(path.c_str());
+    if (attrs.empty()) {
+        fprintf(stderr, "missing mesh %s\n", path.c_str());
+        exit(2);
+    }
+    Ray::mesh_desc_t md;
+    md.prim_type = Ray::ePrimType::TriangleList;
+    md.vtx_positions = {attrs, 0, 8};
+    md.vtx_normals = {attrs, 3, 8};
+    md.vtx_uvs = {attrs, 6, 8};
+    md.vtx_indices = indices;
+    std::vector<Ray::mat_group_desc_t> gd;
+    for (size_t g = 0; g < group_mats.size(); ++g) {
+        gd.emplace_back(group_mats[g].first, group_mats[g].second,
+                        groups[2 * g + 0], groups[2 * g + 1]);
+    }
+    md.groups = gd;
+    return scene.AddMesh(md);
+}
+
+static void setup_scene(ThreadPool &threads, Ray::SceneBase &scene,
+                        const TestSpec &t) {
+    using namespace Ray;
+    const std::string scene_name = t.scene;
+
+    { // camera (tests/test_scene.cpp:233-301)
+        static const float view_origin_standard[] = {0.16149f, 0.294997f,
+                                                     0.332965f};
+        static const float view_dir_standard[] = {
+            -0.364128768f, -0.555621922f, -0.747458696f};
+        static const float view_origin_refr[] = {-0.074711f, 0.099348f,
+                                                 -0.049506f};
+        static const float view_dir_refr[] = {0.725718915f, 0.492017448f,
+                                              0.480885535f};
+
+        camera_desc_t cd;
+        cd.type = eCamType::Persp;
+        cd.filter = ePixelFilter::Box;
+        if (scene_name == "Standard_SunLight" ||
+            scene_name == "Standard_MoonLight") {
+            cd.view_transform = eViewTransform::AgX;
+        } else if (scene_name == "Standard_DirLight") {
+            cd.view_transform = eViewTransform::Filmic_HighContrast;
+        } else {
+            cd.view_transform = eViewTransform::Standard;
+        }
+        if (scene_name == "Refraction_Plane") {
+            memcpy(cd.origin, view_origin_refr, sizeof(cd.origin));
+            memcpy(cd.fwd, view_dir_refr, sizeof(cd.fwd));
+            cd.fov = 45.1806f;
+        } else {
+            memcpy(cd.origin, view_origin_standard, sizeof(cd.origin));
+            memcpy(cd.fwd, view_dir_standard, sizeof(cd.fwd));
+            cd.fov = 18.1806f;
+        }
+        cd.up[0] = 0.0f;
+        cd.up[1] = 1.0f;
+        cd.up[2] = 0.0f;
+        cd.regularize_alpha = 0.0f;
+        if (scene_name == "Standard_DOF0") {
+            cd.sensor_height = 0.018f;
+            cd.focus_distance = 0.1f;
+            cd.fstop = 0.1f;
+            cd.lens_blades = 6;
+            cd.lens_rotation = 30.0f * 3.141592653589f / 180.0f;
+            cd.lens_ratio = 2.0f;
+        } else if (scene_name == "Standard_DOF1") {
+            cd.sensor_height = 0.018f;
+            cd.focus_distance = 0.4f;
+            cd.fstop = 0.1f;
+            cd.lens_blades = 0;
+            cd.lens_rotation = 30.0f * 3.141592653589f / 180.0f;
+            cd.lens_ratio = 2.0f;
+        } else if (scene_name == "Standard_GlassBall0" ||
+                   scene_name == "Standard_GlassBall1") {
+            cd.max_diff_depth = 8;
+            cd.max_spec_depth = 8;
+            cd.max_refr_depth = 8;
+            cd.max_total_depth = 9;
+        } else if (scene_name == "Ray_Flags") {
+            cd.regularize_alpha = 0.1f;
+        } else if (scene_name == "Standard_SunLight") {
+            cd.exposure = -14.0f;
+        }
+        cd.min_total_depth = 4;
+        cd.min_samples = t.golden_spp; // adaptive sampling off for goldens
+        cd.variance_threshold = 0.0f;
+        const CameraHandle cam = scene.AddCamera(cd);
+        scene.set_current_cam(cam);
+    }
+
+    const MaterialHandle main_mat = make_main_material(scene, t);
+
+    auto grey = [&](float v) {
+        principled_mat_desc_t d;
+        d.base_color[0] = d.base_color[1] = d.base_color[2] = v;
+        d.roughness = 0.0f;
+        d.specular = 0.0f;
+        return scene.AddMaterial(d);
+    };
+    const MaterialHandle floor_mat = grey(0.75f);
+    const MaterialHandle walls_mat = grey(0.5f);
+    const MaterialHandle white_mat = grey(0.64f);
+    const MaterialHandle light_grey_mat = grey(0.32f);
+    const MaterialHandle mid_grey_mat = grey(0.16f);
+    const MaterialHandle dark_grey_mat = grey(0.08f);
+
+    auto emissive = [&](float strength) {
+        shading_node_desc_t d;
+        d.type = eShadingNode::Emissive;
+        d.strength = strength;
+        d.importance_sample = true;
+        d.base_color[0] = d.base_color[1] = d.base_color[2] = 1.0f;
+        return scene.AddMaterial(d);
+    };
+    const MaterialHandle square_light_mat = emissive(20.3718f);
+    const MaterialHandle disc_light_mat = emissive(81.4873f);
+
+    MaterialHandle glossy_red, glossy_green;
+    {
+        shading_node_desc_t d;
+        d.type = eShadingNode::Glossy;
+        d.base_color[0] = 1.0f;
+        d.base_color[1] = d.base_color[2] = 0.0f;
+        glossy_red = scene.AddMaterial(d);
+        d.base_color[1] = 1.0f;
+        d.base_color[0] = d.base_color[2] = 0.0f;
+        glossy_green = scene.AddMaterial(d);
+    }
+    MaterialHandle refr_mat_flags;
+    {
+        principled_mat_desc_t d;
+        d.roughness = 0.0f;
+        d.transmission = 1.0f;
+        d.ior = 2.3f;
+        refr_mat_flags = scene.AddMaterial(d);
+    }
+
+    MaterialHandle glassball_mat0, glassball_mat1;
+    if (scene_name == "Standard_GlassBall0") {
+        shading_node_desc_t d;
+        d.type = eShadingNode::Refractive;
+        d.base_color[0] = d.base_color[1] = d.base_color[2] = 1.0f;
+        d.roughness = 0.0f;
+        d.ior = 1.45f;
+        glassball_mat0 = scene.AddMaterial(d);
+        d.ior = 1.0f;
+        glassball_mat1 = scene.AddMaterial(d);
+    } else {
+        principled_mat_desc_t d;
+        d.base_color[0] = d.base_color[1] = d.base_color[2] = 1.0f;
+        d.roughness = 0.0f;
+        d.ior = 1.45f;
+        d.transmission = 1.0f;
+        glassball_mat0 = scene.AddMaterial(d);
+        d.ior = 1.0f;
+        glassball_mat1 = scene.AddMaterial(d);
+    }
+
+    MaterialHandle two_sided_back;
+    {
+        principled_mat_desc_t d;
+        d.base_color[0] = 0.0f;
+        d.base_color[1] = 0.0f;
+        d.base_color[2] = 0.5f;
+        d.roughness = 0.0f;
+        two_sided_back = scene.AddMaterial(d);
+    }
+
+    const std::string mt = g_ref_data_dir + "/test_data/meshes/mat_test/";
+    using MM = std::pair<MaterialHandle, MaterialHandle>;
+
+    const MeshHandle base_mesh =
+        add_bin_mesh(scene, mt + "base.bin", {MM{mid_grey_mat, mid_grey_mat}});
+    const MeshHandle model_mesh = add_bin_mesh(
+        scene,
+        scene_name == "Refraction_Plane" ? mt + "refr_plane.bin"
+                                         : mt + "model.bin",
+        {MM{main_mat, main_mat}});
+    const MeshHandle core_mesh =
+        add_bin_mesh(scene, mt + "core.bin", {MM{mid_grey_mat, mid_grey_mat}});
+    const MeshHandle subsurf_bar_mesh =
+        add_bin_mesh(scene, mt + "subsurf_bar.bin",
+                     {MM{white_mat, white_mat}, MM{dark_grey_mat, dark_grey_mat}});
+    const MeshHandle text_mesh =
+        add_bin_mesh(scene, mt + "text.bin", {MM{white_mat, white_mat}});
+    const MeshHandle two_sided_mesh = add_bin_mesh(
+        scene, mt + "two_sided.bin", {MM{main_mat, two_sided_back}});
+
+    // substitute backdrop (see file header)
+    const bool open_floor =
+        scene_name == "Standard_DirLight" || scene_name == "Standard_SunLight" ||
+        scene_name == "Standard_MoonLight" || scene_name == "Standard_HDRLight";
+    const MeshHandle env_mesh =
+        open_floor
+            ? add_bin_mesh(scene, g_meshes_dir + "/env_floor_sub.bin",
+                           {MM{floor_mat, floor_mat},
+                            MM{dark_grey_mat, dark_grey_mat},
+                            MM{mid_grey_mat, mid_grey_mat}})
+            : add_bin_mesh(scene, g_meshes_dir + "/env_sub.bin",
+                           {MM{floor_mat, floor_mat}, MM{walls_mat, walls_mat},
+                            MM{dark_grey_mat, dark_grey_mat},
+                            MM{light_grey_mat, light_grey_mat},
+                            MM{mid_grey_mat, mid_grey_mat}});
+
+    const MeshHandle square_light_mesh = add_bin_mesh(
+        scene, mt + "square_light.bin",
+        {MM{square_light_mat, square_light_mat}, MM{dark_grey_mat, dark_grey_mat}});
+    const MeshHandle disc_light_mesh = add_bin_mesh(
+        scene, mt + "disc_light.bin",
+        {MM{disc_light_mat, disc_light_mat}, MM{dark_grey_mat, dark_grey_mat}});
+    const MeshHandle glassball_mesh = add_bin_mesh(
+        scene, mt + "glassball.bin",
+        {MM{glassball_mat0, glassball_mat0}, MM{glassball_mat1, glassball_mat1}});
+
+    MeshHandle box_mesh, box2_mesh, box3_mesh;
+    {
+        auto [attrs, indices, groups] = LoadBIN((mt + "box.bin").c_str());
+        mesh_desc_t md;
+        md.prim_type = ePrimType::TriangleList;
+        md.vtx_positions = {attrs, 0, 8};
+        md.vtx_normals = {attrs, 3, 8};
+        md.vtx_uvs = {attrs, 6, 8};
+        md.vtx_indices = indices;
+        const mat_group_desc_t g1[] = {{glossy_red, groups[0], groups[1]}};
+        md.groups = g1;
+        box_mesh = scene.AddMesh(md);
+        const mat_group_desc_t g2[] = {{refr_mat_flags, groups[0], groups[1]}};
+        md.groups = g2;
+        box2_mesh = scene.AddMesh(md);
+        const mat_group_desc_t g3[] = {{glossy_green, groups[0], groups[1]}};
+        md.groups = g3;
+        box3_mesh = scene.AddMesh(md);
+    }
+
+    static const float identity[16] = {1, 0, 0, 0, 0, 1, 0, 0,
+                                       0, 0, 1, 0, 0, 0, 0, 1};
+    static const float model_xform[16] = {
+        0.707106769f, 0.0f, 0.707106769f, 0.0f, 0.0f, 1.0f, 0.0f, 0.0f,
+        -0.707106769f, 0.0f, 0.707106769f, 0.0f, 0.0f, 0.062f, 0.0f, 1.0f};
+
+    environment_desc_t env;
+    env.env_col[0] = env.env_col[1] = env.env_col[2] = 0.0f;
+    env.back_col[0] = env.back_col[1] = env.back_col[2] = 0.0f;
+
+    if (scene_name == "Refraction_Plane") {
+        scene.AddMeshInstance(model_mesh, identity);
+    } else if (scene_name == "Standard_GlassBall0" ||
+               scene_name == "Standard_GlassBall1") {
+        static const float glassball_xform[16] = {1, 0, 0, 0, 0, 1, 0, 0,
+                                                  0, 0, 1, 0, 0, 0.05f, 0, 1};
+        scene.AddMeshInstance(glassball_mesh, glassball_xform);
+    } else if (scene_name == "Ray_Flags") {
+        // six boxes, one per visibility flag (tests/test_scene.cpp:737-779)
+        float box_xform[16] = {0.01f, 0, 0,     0, 0, 0.05f, 0, 0,
+                               0,     0, 0.01f, 0, -0.05f, 0.05f, 0, 1};
+        mesh_instance_desc_t mi;
+        mi.xform = box_xform;
+        mi.mesh = box_mesh;
+        mi.shadow_visibility = false;
+        scene.AddMeshInstance(mi);
+        mi.shadow_visibility = true;
+        box_xform[12] = 0.0f;
+        box_xform[13] = 0.051f;
+        mi.specular_visibility = false;
+        mi.mesh = box2_mesh;
+        scene.AddMeshInstance(mi);
+        mi.mesh = box_mesh;
+        mi.specular_visibility = true;
+        box_xform[12] = 0.05f;
+        box_xform[13] = 0.05f;
+        mi.diffuse_visibility = false;
+        scene.AddMeshInstance(mi);
+        mi.diffuse_visibility = true;
+        mi.mesh = box3_mesh;
+        box_xform[12] = -0.05f;
+        box_xform[14] = -0.05f;
+        mi.camera_visibility = false;
+        scene.AddMeshInstance(mi);
+        mi.camera_visibility = true;
+        box_xform[12] = 0.0f;
+        mi.refraction_visibility = false;
+        scene.AddMeshInstance(mi);
+        mi.refraction_visibility = true;
+        box_xform[12] = 0.05f;
+        scene.AddMeshInstance(mi);
+    } else if (scene_name == "Two_Sided") {
+        static const float two_sided_xform[16] = {1, 0, 0, 0, 0, 1, 0, 0,
+                                                  0, 0, 1, 0, 0, 0.04f, 0, 1};
+        scene.AddMeshInstance(two_sided_mesh, two_sided_xform);
+        scene.AddMeshInstance(base_mesh, identity);
+        scene.AddMeshInstance(text_mesh, identity);
+    } else {
+        scene.AddMeshInstance(model_mesh, model_xform);
+        scene.AddMeshInstance(base_mesh, identity);
+        scene.AddMeshInstance(core_mesh, identity);
+        scene.AddMeshInstance(subsurf_bar_mesh, identity);
+        scene.AddMeshInstance(text_mesh, identity);
+    }
+    scene.AddMeshInstance(env_mesh, identity);
+
+    // lights (tests/test_scene.cpp:797-964)
+    if (scene_name == "Standard_MeshLights" || scene_name == "Refraction_Plane") {
+        if (scene_name != "Refraction_Plane") {
+            scene.AddMeshInstance(square_light_mesh, identity);
+        }
+        scene.AddMeshInstance(disc_light_mesh, identity);
+    } else if (scene_name == "Standard" || scene_name == "Standard_SphereLight" ||
+               scene_name == "Standard_InsideLight" ||
+               scene_name == "Standard_SpotLight" ||
+               scene_name == "Standard_DOF0" || scene_name == "Standard_DOF1" ||
+               scene_name == "Standard_GlassBall0" ||
+               scene_name == "Standard_GlassBall1" ||
+               scene_name == "Standard_Clipped" || scene_name == "Two_Sided") {
+        if (scene_name == "Standard_SphereLight") {
+            sphere_light_desc_t sl;
+            sl.color[0] = sl.color[1] = sl.color[2] = 7.95775f;
+            sl.position[0] = -0.436484f;
+            sl.position[1] = 0.187179f;
+            sl.position[2] = 0.204932f;
+            sl.radius = 0.05f;
+            scene.AddLight(sl);
+            static const float xform[16] = {
+                0.813511789f, -0.536388099f, -0.224691749f, 0.0f,
+                0.538244009f, 0.548162937f, 0.640164733f, 0.0f,
+                -0.220209062f, -0.641720533f, 0.734644651f, 0.0f,
+                0.0f, 0.461762f, 0.0f, 1.0f};
+            line_light_desc_t ll;
+            ll.color[0] = ll.color[1] = ll.color[2] = 80.0f;
+            ll.radius = 0.005f;
+            ll.height = 0.2592f;
+            scene.AddLight(ll, xform);
+        } else if (scene_name == "Standard_InsideLight") {
+            sphere_light_desc_t sl;
+            sl.color[0] = sl.color[1] = sl.color[2] = 2.53302956f;
+            sl.position[0] = 0.0f;
+            sl.position[1] = 0.17f;
+            sl.position[2] = 0.0f;
+            sl.radius = 0.1f;
+            scene.AddLight(sl);
+        } else if (scene_name == "Standard_SpotLight") {
+            spot_light_desc_t sl;
+            sl.color[0] = sl.color[1] = sl.color[2] = 10.1321182f;
+            sl.position[0] = -0.436484f;
+            sl.position[1] = 0.187179f;
+            sl.position[2] = 0.204932f;
+            sl.direction[0] = 0.699538708f;
+            sl.direction[1] = -0.130918920f;
+            sl.direction[2] = -0.702499688f;
+            sl.radius = 0.05f;
+            sl.spot_size = 45.0f;
+            sl.spot_blend = 0.15f;
+            scene.AddLight(sl);
+        } else {
+            { // rect light
+                static const float xform[16] = {
+                    -0.425036609f, 2.24262476e-06f, -0.905176163f, 0.0f,
+                    -0.876228273f, 0.250873595f, 0.411444396f, 0.0f,
+                    0.227085724f, 0.968019843f, -0.106628500f, 0.0f,
+                    -0.436484009f, 0.187178999f, 0.204932004f, 1.0f};
+                rect_light_desc_t rl;
+                rl.color[0] = rl.color[1] = rl.color[2] = 20.3718f;
+                rl.width = 0.162f;
+                rl.height = 0.162f;
+                scene.AddLight(rl, xform);
+            }
+            { // disk light
+                static const float xform[16] = {
+                    0.813511789f, -0.536388099f, -0.224691749f, 0.0f,
+                    0.538244009f, 0.548162937f, 0.640164733f, 0.0f,
+                    -0.220209062f, -0.641720533f, 0.734644651f, 0.0f,
+                    0.360500991f, 0.461762011f, 0.431780994f, 1.0f};
+                disk_light_desc_t dl;
+                dl.color[0] = dl.color[1] = dl.color[2] = 81.4873f;
+                dl.size_x = 0.1296f;
+                dl.size_y = 0.1296f;
+                scene.AddLight(dl, xform);
+            }
+        }
+    } else if (scene_name == "Standard_DirLight") {
+        directional_light_desc_t dl;
+        dl.direction[0] = 0.541675210f;
+        dl.direction[1] = -0.541675210f;
+        dl.direction[2] = -0.642787635f;
+        dl.color[0] = dl.color[1] = dl.color[2] = 12.0f;
+        dl.angle = 10.0f;
+        scene.AddLight(dl);
+    } else if (scene_name == "Standard_SunLight") {
+        directional_light_desc_t dl;
+        dl.direction[0] = 0.454519480f;
+        dl.direction[1] = -0.454519480f;
+        dl.direction[2] = -0.766044438f;
+        dl.color[0] = 144809.859f;
+        dl.color[1] = 129443.617f;
+        dl.color[2] = 127098.890f;
+        dl.angle = 4.0f;
+        scene.AddLight(dl);
+        env.env_col[0] = env.env_col[1] = env.env_col[2] = 1.0f;
+        env.back_col[0] = env.back_col[1] = env.back_col[2] = 1.0f;
+        env.env_map = env.back_map = PhysicalSkyTexture;
+    } else if (scene_name == "Ray_Flags") {
+        sphere_light_desc_t sl;
+        sl.color[0] = sl.color[1] = sl.color[2] = 0.0253302939f;
+        sl.position[0] = -0.05f;
+        sl.position[1] = 0.2f;
+        sl.position[2] = 0.075f;
+        sl.radius = 0.0f;
+        scene.AddLight(sl);
+    }
+    // Standard_NoLight: nothing
+
+    scene.SetEnvironment(env);
+
+    using namespace std::placeholders;
+    scene.Finalize(std::bind(&ThreadPool::ParallelFor<Ray::ParallelForFunction>,
+                             &threads, _1, _2, _3));
+}
+
+// ---------------------------------------------------------------------------
+
+class LogStderr final : public Ray::ILog {
+  public:
+    void Info(const char *fmt, ...) override {}
+    void Warning(const char *fmt, ...) override {}
+    void Error(const char *fmt, ...) override {
+        va_list vl;
+        va_start(vl, fmt);
+        vfprintf(stderr, fmt, vl);
+        va_end(vl);
+        putc('\n', stderr);
+    }
+};
+
+int main(int argc, char *argv[]) {
+    if (argc < 2) {
+        fprintf(stderr,
+                "usage: golden_gen <out_dir> [name_filter] [arch] [spp]\n");
+        return 1;
+    }
+    const std::string out_dir = argv[1];
+    const std::string filter = argc > 2 ? argv[2] : "";
+    const std::string arch = argc > 3 ? argv[3] : "AVX512";
+    const int spp_override = argc > 4 ? atoi(argv[4]) : 0;
+
+    g_ref_data_dir = "/root/reference/tests";
+    g_meshes_dir = out_dir + "/meshes";
+
+    const int W = 256, H = 256;
+    ThreadPool threads(std::thread::hardware_concurrency());
+    LogStderr log;
+
+    for (const TestSpec &t : g_tests) {
+        if (!filter.empty() && filter != t.name &&
+            std::string(t.name).find(filter) == std::string::npos) {
+            continue;
+        }
+        Ray::settings_t s;
+        s.w = W;
+        s.h = H;
+        s.use_tex_compression = false;
+
+        using namespace std::placeholders;
+        auto parallel_for = std::bind(
+            &ThreadPool::ParallelFor<Ray::ParallelForFunction>, &threads, _1,
+            _2, _3);
+        const auto rt = Ray::RendererTypeFromName(arch.c_str());
+        auto renderer = std::unique_ptr<Ray::RendererBase>(
+            Ray::CreateRenderer(s, &log, parallel_for, rt));
+        if (!renderer || renderer->type() != rt) {
+            fprintf(stderr, "failed to create %s renderer\n", arch.c_str());
+            return 1;
+        }
+        auto scene = std::unique_ptr<Ray::SceneBase>(renderer->CreateScene());
+        setup_scene(threads, *scene, t);
+
+        const int spp = spp_override > 0 ? spp_override : t.golden_spp;
+        // render tiles in parallel, SamplePortion samples at a time
+        const int Bucket = 64, Portion = 16;
+        std::vector<Ray::RegionContext> regions;
+        for (int y = 0; y < H; y += Bucket) {
+            for (int x = 0; x < W; x += Bucket) {
+                regions.emplace_back(Ray::rect_t{x, y, Bucket, Bucket});
+            }
+        }
+        for (int i = 0; i < spp; i += std::min(Portion, spp - i)) {
+            const int portion = std::min(Portion, spp - i);
+            std::vector<std::future<void>> jobs;
+            for (auto &r : regions) {
+                jobs.push_back(threads.Enqueue([&, portion](Ray::RegionContext *rc) {
+                    for (int k = 0; k < portion; ++k) {
+                        renderer->RenderScene(*scene, *rc);
+                    }
+                }, &r));
+            }
+            for (auto &j : jobs) {
+                j.wait();
+            }
+            printf("\r%-28s %5.1f%%", t.name, 100.0 * (i + portion) / spp);
+            fflush(stdout);
+        }
+
+        const Ray::color_data_rgba_t pixels = renderer->get_pixels_ref();
+        std::vector<uint8_t> u8(W * H * 3);
+        for (int j = 0; j < H; ++j) {
+            for (int i = 0; i < W; ++i) {
+                const auto &p = pixels.ptr[j * pixels.pitch + i];
+                u8[3 * (j * W + i) + 0] = uint8_t(p.v[0] * 255);
+                u8[3 * (j * W + i) + 1] = uint8_t(p.v[1] * 255);
+                u8[3 * (j * W + i) + 2] = uint8_t(p.v[2] * 255);
+            }
+        }
+        const std::string dir = out_dir + "/" + t.name;
+        (void)system(("mkdir -p '" + dir + "'").c_str());
+        Ray::WriteTGA(u8.data(), W, H, 3, (dir + "/ref.tga").c_str());
+        printf("\r%-28s done (%d spp, %s)\n", t.name, spp, arch.c_str());
+    }
+    return 0;
+}
