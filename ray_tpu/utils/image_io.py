@@ -31,18 +31,42 @@ def write_tga(path: str, img: np.ndarray) -> None:
         f.write(np.ascontiguousarray(bgr).tobytes())
 
 
+def _decode_tga_rle(raw: bytes, n_px: int, c: int) -> np.ndarray:
+    """Decode TGA type-10 RLE packets into an (n_px, c) uint8 array."""
+    out = np.empty((n_px, c), np.uint8)
+    pos = 0
+    px = 0
+    buf = np.frombuffer(raw, np.uint8)
+    while px < n_px:
+        hdr = int(buf[pos])  # python int: uint8 arithmetic would overflow
+        pos += 1
+        count = (hdr & 0x7F) + 1
+        if hdr & 0x80:  # run-length packet: one pixel repeated
+            out[px:px + count] = buf[pos:pos + c]
+            pos += c
+        else:  # raw packet
+            out[px:px + count] = buf[pos:pos + count * c].reshape(count, c)
+            pos += count * c
+        px += count
+    return out
+
+
 def read_tga(path: str) -> np.ndarray:
-    """Read an uncompressed true-color TGA written by :func:`write_tga`
-    (or the reference's WriteTGA).  Returns (H, W, C) uint8 RGB(A)."""
+    """Read a true-color TGA — uncompressed (type 2) or RLE (type 10, the
+    reference's WriteTGA output, internal/TextureUtils.cpp).  Returns
+    (H, W, C) uint8 RGB(A)."""
     with open(path, "rb") as f:
         hdr = f.read(18)
         idlen, _, imgtype = hdr[0], hdr[1], hdr[2]
-        assert imgtype == 2, "only uncompressed true-color TGA"
+        assert imgtype in (2, 10), "only true-color TGA (raw or RLE)"
         w, h = struct.unpack("<HH", hdr[12:16])
         bpp, desc = hdr[16], hdr[17]
         f.read(idlen)
         c = bpp // 8
-        data = np.frombuffer(f.read(w * h * c), np.uint8).reshape(h, w, c)
+        if imgtype == 10:
+            data = _decode_tga_rle(f.read(), h * w, c).reshape(h, w, c)
+        else:
+            data = np.frombuffer(f.read(w * h * c), np.uint8).reshape(h, w, c)
     rgb = data[..., [2, 1, 0]] if c >= 3 else data
     if c == 4:
         rgb = np.concatenate([rgb[..., :3], data[..., 3:4]], axis=2)

@@ -9,15 +9,24 @@ enough — we override the config after import, before any backend init.
 
 import os
 
+# RAY_TPU_GOLDEN=1 runs the golden-image parity battery on the real
+# device (scripts/run_golden_tests.sh); RAY_TPU_HW=1 likewise for the
+# hardware kernel tests (tests/test_traverse_pallas.py, run by bench.py
+# --tpu-tests) — everything else pins CPU
+_golden = (os.environ.get("RAY_TPU_GOLDEN", "") == "1"
+           or os.environ.get("RAY_TPU_HW", "") == "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _golden and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _golden:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-assert len(jax.devices()) == 8, jax.devices()
+if not _golden:
+    assert len(jax.devices()) == 8, jax.devices()

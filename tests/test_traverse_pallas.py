@@ -1,0 +1,136 @@
+"""Pallas↔XLA bit-equivalence on the real TPU chip.
+
+The Pallas VMEM kernels (ops/traverse_pallas.py) are the fast path behind
+the flagship bench numbers; the XLA wavefront loop is the executable spec
+(the role Ref::SIMDPolicy plays for the reference's SIMD backends,
+internal/RendererCPU.h:29).  These tests force both paths on identical
+random scenes/rays and assert *identical* hit records — the analogue of
+the reference's cross-backend golden matrix (SURVEY §4).
+
+Runs on hardware only: ``RAY_TPU_HW=1 python -m pytest
+tests/test_traverse_pallas.py`` (bench.py runs it before benching; the
+CPU-pinned unit suite skips it).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("RAY_TPU_HW", "") != "1"
+    and os.environ.get("RAY_TPU_GOLDEN", "") != "1",
+    reason="needs the real TPU (Pallas kernels); run via bench.py --tpu-tests",
+)
+
+
+def _require_tpu():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU backend available")
+
+
+def _scene(n_tris, seed):
+    import jax.numpy as jnp
+
+    from ray_tpu.ops.traverse import _soa_from_arrays
+    from ray_tpu.scene.bvh import build_bvh2, tri_bounds
+
+    r = np.random.RandomState(seed)
+    base = (r.rand(n_tris, 1, 3) - 0.5) * 10.0
+    tris = base + (r.rand(n_tris, 3, 3) - 0.5) * 0.8
+    v = tris.reshape(-1, 3).astype(np.float32)
+    t = np.arange(3 * n_tris, dtype=np.int32).reshape(n_tris, 3)
+    lo, hi = tri_bounds(v, t)
+    b = build_bvh2(lo, hi, max_leaf=4)
+    bvh, tsoa = _soa_from_arrays(
+        jnp.asarray(b.child_lo), jnp.asarray(b.child_hi),
+        jnp.asarray(b.child), jnp.asarray(b.prim_indices),
+        jnp.asarray(v), jnp.asarray(t),
+    )
+    return bvh, tsoa, b.max_leaf
+
+
+def _rays(n, seed):
+    import jax.numpy as jnp
+
+    r = np.random.RandomState(seed)
+    ro = (r.rand(n, 3).astype(np.float32) - 0.5) * 12.0
+    rd = r.randn(n, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    return (jnp.asarray(ro), jnp.asarray(rd), jnp.zeros(n),
+            jnp.full(n, 1e30), jnp.ones(n, bool))
+
+
+# sizes exercising each dispatch tier (ops/traverse.py _pallas_mode):
+# ≤40 → Pallas brute; ≤512 nodes/tris → Pallas BVH kernel
+@pytest.mark.parametrize("n_tris", [8, 24, 100, 300, 500])
+def test_closest_hit_bit_equal(n_tris):
+    _require_tpu()
+    from ray_tpu.ops.traverse import trace_closest_soa
+
+    bvh, tsoa, max_leaf = _scene(n_tris, seed=n_tris)
+    ro, rd, tmin, tmax, act = _rays(512, seed=1000 + n_tris)
+
+    fast = trace_closest_soa(bvh, tsoa, ro, rd, tmin, tmax, act,
+                             max_leaf=max_leaf)
+    spec = trace_closest_soa(bvh, tsoa, ro, rd, tmin, tmax, act,
+                             max_leaf=max_leaf, force_xla=True)
+
+    assert np.asarray(fast.prim).tolist() == np.asarray(spec.prim).tolist()
+    hitm = np.asarray(spec.prim) >= 0
+    assert hitm.sum() > 30, "scene too sparse to be meaningful"
+    for field in ("t", "u", "v"):
+        a = np.asarray(getattr(fast, field))[hitm]
+        b = np.asarray(getattr(spec, field))[hitm]
+        np.testing.assert_array_equal(a, b, err_msg=field)
+    np.testing.assert_array_equal(
+        np.asarray(fast.backface)[hitm], np.asarray(spec.backface)[hitm])
+
+
+@pytest.mark.parametrize("n_tris", [8, 100, 500])
+def test_occlusion_bit_equal(n_tris):
+    _require_tpu()
+    from ray_tpu.ops.traverse import trace_occlusion_soa
+
+    bvh, tsoa, max_leaf = _scene(n_tris, seed=77 + n_tris)
+    ro, rd, tmin, tmax, act = _rays(512, seed=2000 + n_tris)
+    # finite t_max exercises the early-out path
+    import jax.numpy as jnp
+
+    tmax = jnp.full(512, 4.0)
+
+    fast = trace_occlusion_soa(bvh, tsoa, ro, rd, tmin, tmax, act,
+                               max_leaf=max_leaf)
+    spec = trace_occlusion_soa(bvh, tsoa, ro, rd, tmin, tmax, act,
+                               max_leaf=max_leaf, force_xla=True)
+    assert np.asarray(fast).tolist() == np.asarray(spec).tolist()
+    assert np.asarray(spec).sum() > 10
+
+
+def test_inactive_and_tmin_tmax_window():
+    """Masked lanes + clipped windows agree across paths."""
+    _require_tpu()
+    import jax.numpy as jnp
+
+    from ray_tpu.ops.traverse import trace_closest_soa
+
+    bvh, tsoa, max_leaf = _scene(200, seed=5)
+    ro, rd, _, _, _ = _rays(256, seed=6)
+    r = np.random.RandomState(7)
+    act = jnp.asarray(r.rand(256) > 0.3)
+    tmin = jnp.asarray(r.rand(256).astype(np.float32) * 2.0)
+    tmax = tmin + jnp.asarray(r.rand(256).astype(np.float32) * 6.0)
+
+    fast = trace_closest_soa(bvh, tsoa, ro, rd, tmin, tmax, act,
+                             max_leaf=max_leaf)
+    spec = trace_closest_soa(bvh, tsoa, ro, rd, tmin, tmax, act,
+                             max_leaf=max_leaf, force_xla=True)
+    assert np.asarray(fast.prim).tolist() == np.asarray(spec.prim).tolist()
+    assert (np.asarray(fast.prim)[~np.asarray(act)] == -1).all()
+    hitm = np.asarray(spec.prim) >= 0
+    np.testing.assert_array_equal(np.asarray(fast.t)[hitm],
+                                  np.asarray(spec.t)[hitm])

@@ -35,12 +35,20 @@ class MeshBuilder:
         self._group_start = 0
 
     def quad(self, p0, p1, p2, p3, normal):
-        """Two triangles for the (p0,p1,p2,p3) quad, consistent winding."""
+        """Two triangles for the (p0,p1,p2,p3) quad.  Winding is auto-
+        oriented so the geometric normal agrees with ``normal`` (one-sided
+        materials shade the front face only)."""
         base = len(self.attrs)
         for p, uv in zip((p0, p1, p2, p3),
                          ((0, 0), (1, 0), (1, 1), (0, 1))):
             self.attrs.append(tuple(p) + tuple(normal) + uv)
-        self.indices += [base, base + 1, base + 2, base, base + 2, base + 3]
+        e1 = np.subtract(p1, p0)
+        e2 = np.subtract(p2, p0)
+        geom_n = np.cross(e1, e2)
+        if np.dot(geom_n, normal) >= 0.0:
+            self.indices += [base, base + 1, base + 2, base, base + 2, base + 3]
+        else:
+            self.indices += [base, base + 2, base + 1, base, base + 3, base + 2]
 
     def end_group(self):
         n = len(self.indices) - self._group_start
