@@ -16,7 +16,15 @@ import jax.numpy as jnp
 
 from ray_tpu.ops.linalg import cross, dot
 
-HIT_EPS = 1e-6  # reference internal/Constants.inl:8
+# The parallel-ray test must be scale-invariant: det is twice the projected
+# triangle area, so ANY absolute epsilon silently rejects small triangles
+# (a 77k-tri mat_test ball has ~5e-4 edges → det ≈ 2.5e-7, far below the
+# 1e-6 this once used — whole triangles vanished).  det == 0.0 exactly is
+# the only degenerate case; near-zero dets produce huge u/v/t that fail the
+# barycentric/window tests on their own (inf/NaN compare False).  The
+# reference's Plücker formulation (internal/Core.cpp:212 PreprocessTri)
+# likewise has no absolute area cutoff.
+HIT_EPS = 0.0
 
 
 def intersect_tri(ro, rd, p0, p1, p2, t_min, t_max):
@@ -30,7 +38,7 @@ def intersect_tri(ro, rd, p0, p1, p2, t_min, t_max):
     e2 = p2 - p0
     pvec = cross(rd, e2)
     det = dot(e1, pvec, keepdims=False)
-    valid_det = jnp.abs(det) > HIT_EPS
+    valid_det = det != 0.0
     inv_det = 1.0 / jnp.where(valid_det, det, 1.0)
     tvec = ro - p0
     u = dot(tvec, pvec, keepdims=False) * inv_det

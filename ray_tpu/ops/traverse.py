@@ -32,7 +32,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ray_tpu.ops.intersect import HIT_EPS
 from ray_tpu.scene.bvh import LEAF_COUNT_BITS, LEAF_COUNT_MASK, MAX_STACK_SIZE
 
 
@@ -97,7 +96,7 @@ def _tri_c(ox, oy, oz, dx, dy, dz, p0x, p0y, p0z, p1x, p1y, p1z,
     pvy = dz * e2x - dx * e2z
     pvz = dx * e2y - dy * e2x
     det = e1x * pvx + e1y * pvy + e1z * pvz
-    valid_det = jnp.abs(det) > HIT_EPS
+    valid_det = det != 0.0  # scale-invariant (see ops/intersect.py HIT_EPS note)
     inv_det = 1.0 / jnp.where(valid_det, det, 1.0)
     tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
     u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det

@@ -33,7 +33,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ray_tpu.ops.intersect import HIT_EPS
 from ray_tpu.ops.traverse import Hit
 from ray_tpu.scene.bvh import LEAF_COUNT_BITS, LEAF_COUNT_MASK
 
@@ -81,7 +80,7 @@ def _brute_kernel(tri_refs, ox, oy, oz, dx, dy, dz, tmn, tmx, act,
         pvy = rdz * e2x - rdx * e2z
         pvz = rdx * e2y - rdy * e2x
         det = e1x * pvx + e1y * pvy + e1z * pvz
-        valid_det = jnp.abs(det) > HIT_EPS
+        valid_det = det != 0.0  # scale-invariant (see ops/intersect.py HIT_EPS note)
         inv_det = 1.0 / jnp.where(valid_det, det, 1.0)
         tvx = rox - p0x[k][0]
         tvy = roy - p0y[k][0]
@@ -320,7 +319,7 @@ def _bvh_kernel(refs, *, B, stack_size, max_leaf, any_hit):
             pvy = rdz * e2x - rdx * e2z
             pvz = rdx * e2y - rdy * e2x
             det = e1x * pvx + e1y * pvy + e1z * pvz
-            valid_det = jnp.abs(det) > HIT_EPS
+            valid_det = det != 0.0  # scale-invariant (see ops/intersect.py HIT_EPS note)
             inv_det = 1.0 / jnp.where(valid_det, det, 1.0)
             tvx, tvy, tvz = rox - p0x, roy - p0y, roz - p0z
             u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
