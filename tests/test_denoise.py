@@ -46,7 +46,7 @@ def test_unet_runs_and_trains(renders):
     # a few training steps reduce the fit loss on one pair
     from ray_tpu.models.unet import UNetFilter
 
-    f = UNetFilter()
+    f = UNetFilter(use_trained=False)  # train-from-scratch check
     opt = optax.adam(1e-3)
     opt_state = opt.init(f.params)
     color = jnp.asarray(noisy.radiance_image())[None]

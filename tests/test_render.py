@@ -33,6 +33,33 @@ def _render(scene_flat, cam, spp, depth=3, use_nee=True, res=RES):
     return r.render(scene_flat, cam, spp)
 
 
+def _psnr8(a, b, ds=1):
+    """Per-pixel comparison in tonemapped 8-bit space — the reference's
+    golden-test metric (test_shading.cpp:142-186).  Returns (psnr_dB,
+    firefly_count): fireflies = pixels with any channel diff > 32/255.
+    ``ds``: box-downsample factor applied before the PSNR (halves the MC
+    noise floor per factor of 2 while localized estimator bugs — e.g. a 2x
+    pdf in one light type — still crater the score); fireflies always count
+    at full resolution."""
+    from ray_tpu.render.tonemap import ViewTransform, apply_view_transform
+
+    def to8(x):
+        x = np.asarray(x).reshape(RES, RES, 3)
+        t = np.asarray(apply_view_transform(
+            x.reshape(-1, 3), ViewTransform.STANDARD, 0.0)).reshape(x.shape)
+        return np.clip(t * 255.0, 0, 255).astype(np.float32)
+
+    a8, b8 = to8(a), to8(b)
+    d_full = np.abs(a8 - b8)
+    if ds > 1:
+        k = RES // ds
+        a8 = a8.reshape(k, ds, k, ds, 3).mean(axis=(1, 3))
+        b8 = b8.reshape(k, ds, k, ds, 3).mean(axis=(1, 3))
+    mse = float(((a8 - b8) ** 2).mean())
+    psnr = -10.0 * np.log10(max(mse, 1e-12) / 255.0 ** 2)
+    return psnr, int((d_full > 32.0).any(axis=-1).sum())
+
+
 @pytest.fixture(scope="module")
 def furnace_white():
     sc, cam = furnace_scene(
@@ -83,6 +110,13 @@ def test_nee_consistency_cornell():
     # means converge to the same energy
     rel = abs(a.mean() - b.mean()) / max(a.mean(), 1e-9)
     assert rel < 0.05, (a.mean(), b.mean())
+    # per-pixel agreement, 4x-downsampled to sit above the BSDF-only noise
+    # floor (calibrated: 16.6 dB / 460 fireflies at full res, ~ +12 dB from
+    # the 4x box filter) — a 2x pdf error in the emissive-tri sampling
+    # drops this to ~13 dB
+    psnr, ff = _psnr8(a, b, ds=4)
+    assert psnr >= 20.0, (psnr, ff)
+    assert ff <= 700, (psnr, ff)
 
 
 def test_determinism_same_seed():
@@ -115,6 +149,12 @@ def test_visible_analytic_light_consistency():
         b = _render(flat, cam, spp=256, depth=3, use_nee=False)
         rel = abs(a.mean() - b.mean()) / max(a.mean(), 1e-9)
         assert rel < 0.08, (kind, a.mean(), b.mean())
+        # per-pixel agreement (calibrated: sphere 22.7 dB/149 ff, rect
+        # 23.6 dB/114 ff at these spp) — a 2x pdf typo in either light
+        # type craters PSNR to ~12-15 dB
+        psnr, ff = _psnr8(a, b)
+        assert psnr >= 20.0, (kind, psnr, ff)
+        assert ff <= 300, (kind, psnr, ff)
         # the light itself is directly visible (bright pixels exist)
         assert a.max() > 3.0, kind
 
