@@ -141,6 +141,11 @@ def pack_materials(descs: list) -> dict:
     out["flags"] = flags
     for name, _ in _F32_FIELDS:
         out[name] = np.array([getattr(d, name) for d in descs], np.float32)
+    # the reference stores HALF the descriptor sheen (SceneCPU.cpp:224,263
+    # pack 0.5*m.sheen) and shading doubles it back (ShadeRef.cpp:1562) —
+    # net: effective sheen == desc.sheen.  uber.py keeps the 2x, so halve
+    # here for descriptor-level parity.
+    out["sheen"] = np.clip(out["sheen"] * 0.5, 0.0, 1.0)
     for name in _I32_FIELDS:
         out[name] = np.array([getattr(d, name) for d in descs], np.int32)
     return out

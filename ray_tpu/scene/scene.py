@@ -211,6 +211,29 @@ class Scene:
                                   compress=compress)
 
     def add_material(self, desc: MaterialDesc) -> int:
+        # Principled alpha expands into a Mix(Transparent, root) node tree
+        # exactly like the reference (SceneCPU.cpp:285-334): alpha == 0 IS
+        # the transparent node; otherwise Mix with strength = alpha (and
+        # the alpha texture as the mix weight map), ior = 0 (no Fresnel).
+        from ray_tpu.scene.materials import NO_TEXTURE, ShadingNode
+
+        if desc.type == ShadingNode.PRINCIPLED and (
+                desc.alpha != 1.0 or desc.alpha_texture != NO_TEXTURE):
+            import dataclasses as _dc
+
+            root = _dc.replace(desc, alpha=1.0, alpha_texture=NO_TEXTURE)
+            self._materials.append(root)
+            root_id = len(self._materials) - 1
+            self._materials.append(MaterialDesc(
+                type=ShadingNode.TRANSPARENT, base_color=(1.0, 1.0, 1.0)))
+            transp_id = len(self._materials) - 1
+            if desc.alpha == 0.0 and desc.alpha_texture == NO_TEXTURE:
+                return transp_id
+            self._materials.append(MaterialDesc(
+                type=ShadingNode.MIX, strength=float(desc.alpha),
+                base_texture=desc.alpha_texture, ior=0.0,
+                mix_materials=(transp_id, root_id)))
+            return len(self._materials) - 1
         self._materials.append(desc)
         return len(self._materials) - 1
 
@@ -341,7 +364,7 @@ class Scene:
 
     # -- finalize ----------------------------------------------------------
     def finalize(self, max_leaf: int | None = None,
-                 light_tree_min_lights: int = 5,
+                 light_tree_min_lights: int = 2,
                  instancing: str = "auto",
                  fast_build: bool = False) -> SceneFlat:
         """Compile to a SceneFlat (the analogue of Scene::Finalize,
