@@ -498,9 +498,12 @@ def render_tile(
             )
 
         # ---------- emissive hit (ShadeRef.cpp:1502-1539) ----------
-        emis_mask = alive & params.is_emissive & (
-            jnp.max(params.emission, axis=-1) > 0.0
-        )
+        # any emitting surface contributes: Emissive nodes AND principled
+        # materials with emission (the reference splits the latter into an
+        # additive-mix emissive node, SceneCPU.cpp:285-305 — adding both
+        # deterministically is the same expectation with less variance;
+        # principled lanes keep shading below, Emissive lanes terminate)
+        emis_mask = alive & (jnp.max(params.emission, axis=-1) > 0.0)
         mis_w = jnp.ones((Rl,), jnp.float32)
         if settings.use_nee and have_lights:
             lid = surface_mod.hit_light_id(scene, hit.prim, hit_inst, row=tri_row)

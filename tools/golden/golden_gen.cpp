@@ -678,9 +678,19 @@ int main(int argc, char *argv[]) {
         return 1;
     }
     const std::string out_dir = argv[1];
-    const std::string filter = argc > 2 ? argv[2] : "";
+    std::string filter = argc > 2 ? argv[2] : "";
     const std::string arch = argc > 3 ? argv[3] : "AVX512";
     const int spp_override = argc > 4 ? atoi(argv[4]) : 0;
+    // "refspp" filter prefix: render at the TEST sample count into
+    // refspp.tga instead of the converged golden — the reference's own
+    // noise level on these scenes, used to calibrate the ray_tpu gates
+    // (the substitute backdrop is darker than the stripped original, so
+    // the shipped thresholds can be unreachable for ANY renderer).
+    bool refspp_mode = false;
+    if (filter.rfind("refspp", 0) == 0) {
+        refspp_mode = true;
+        filter = filter.size() > 7 ? filter.substr(7) : "";
+    }
 
     g_ref_data_dir = "/root/reference/tests";
     g_meshes_dir = out_dir + "/meshes";
@@ -713,7 +723,8 @@ int main(int argc, char *argv[]) {
         auto scene = std::unique_ptr<Ray::SceneBase>(renderer->CreateScene());
         setup_scene(threads, *scene, t);
 
-        const int spp = spp_override > 0 ? spp_override : t.golden_spp;
+        const int spp = refspp_mode ? t.test_spp
+                        : (spp_override > 0 ? spp_override : t.golden_spp);
         // render tiles in parallel, SamplePortion samples at a time
         const int Bucket = 64, Portion = 16;
         std::vector<Ray::RegionContext> regions;
@@ -751,7 +762,8 @@ int main(int argc, char *argv[]) {
         }
         const std::string dir = out_dir + "/" + t.name;
         (void)system(("mkdir -p '" + dir + "'").c_str());
-        Ray::WriteTGA(u8.data(), W, H, 3, (dir + "/ref.tga").c_str());
+        const char *fname = refspp_mode ? "/refspp.tga" : "/ref.tga";
+        Ray::WriteTGA(u8.data(), W, H, 3, (dir + fname).c_str());
         printf("\r%-28s done (%d spp, %s)\n", t.name, spp, arch.c_str());
     }
     return 0;
