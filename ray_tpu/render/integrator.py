@@ -62,6 +62,7 @@ class PassSettings:
     max_refr_depth: int = 8
     max_transp_depth: int = 8
     min_total_depth: int = 2
+    min_transp_depth: int = 2  # RR start for transparency (CoreRef.cpp:3131)
     clamp_direct: float = 0.0    # 0 = unclamped
     clamp_indirect: float = 0.0
     regularize_alpha: float = 0.03
@@ -632,10 +633,17 @@ def render_tile(
         new_throughput = throughput * bs.weight * mix_weight[:, None]
         tlum = jnp.max(new_throughput, axis=-1)
 
-        # Russian roulette (ShadeRef.cpp:1604-1618)
+        # Russian roulette (ShadeRef.cpp:1604-1618).  Transparent
+        # continuations gate on transparency depth alone with its own
+        # earlier threshold (the reference RRs them inside the trace loop,
+        # CoreRef.cpp:3131-3140); real scatters gate on total depth.
+        can_rr = jnp.where(
+            alive & params.is_transparent,
+            depth[:, 3] > settings.min_transp_depth,
+            (total_depth + depth[:, 3]) > settings.min_total_depth,
+        )
         rr_q = jnp.where(
-            settings.use_path_termination
-            & ((total_depth + depth[:, 3]) > settings.min_total_depth),
+            settings.use_path_termination & can_rr,
             jnp.maximum(0.05, 1.0 - tlum),
             0.0,
         )
@@ -663,7 +671,19 @@ def render_tile(
         throughput = jnp.where(
             next_active[:, None], new_throughput, throughput
         )
-        bsdf_pdf = jnp.where(next_active, jnp.minimum(bs.pdf, 1e6), bsdf_pdf)
+        # transparent continuations PRESERVE the parent's bsdf pdf: the
+        # last real vertex's NEE may have sampled a light through this
+        # glass (shadow transmittance), so the light hit beyond it must
+        # keep the partial MIS weight — overwriting with the delta pdf
+        # double-counted those lights (white-speckle fireflies).  The
+        # reference gets this for free by continuing transparency inside
+        # the trace stage (CoreRef.cpp:3104-3158).
+        bsdf_pdf = jnp.where(
+            next_active,
+            jnp.where(alive & params.is_transparent, bsdf_pdf,
+                      jnp.minimum(bs.pdf, 1e6)),
+            bsdf_pdf,
+        )
         t_max = jnp.full((Rl,), MAX_DIST, jnp.float32)
         depth_inc = jnp.stack(
             [is_diff, is_spec, is_refr, is_transp], axis=-1

@@ -631,10 +631,11 @@ def sample_uber(p: UberParams, T, B, N, I, rand2, mix_rand,
     ).astype(jnp.int32)
     flip_origin = pick_r & (~pick_rr)
 
-    # transparent node: pass straight through
+    # transparent node: pass straight through, tinted by base_color
+    # (reference r.c *= mat->base_color, CoreRef.cpp:3143-3145)
     if feats.transparent:
         out_dir = jnp.where(p.is_transparent[:, None], I, out_dir)
-        out_w = jnp.where(p.is_transparent[:, None], 1.0, out_w)
+        out_w = jnp.where(p.is_transparent[:, None], p.base_color, out_w)
         out_pdf = jnp.where(p.is_transparent, lobes.DELTA_PDF, out_pdf)
         ray_type = jnp.where(p.is_transparent, 5, ray_type)  # 5 = transparency
         flip_origin = flip_origin | p.is_transparent
