@@ -210,7 +210,15 @@ def eval_ggx_refraction(T, B, N, I, L, alpha, eta, refr_col):
     light_ts = tangent_from_world(T, B, N, L)
     H = _normalize(L - I * eta[..., None])
     h_ts = tangent_from_world(T, B, N, H)
-    return eval_ggx_refraction_ts(view_ts, h_ts, light_ts, alpha, eta, refr_col)
+    f, pdf = eval_ggx_refraction_ts(view_ts, h_ts, light_ts, alpha, eta,
+                                    refr_col)
+    # delta lobes are excluded from NEE (ShadeRef.cpp:865-876 gates on
+    # alpha >= 1e-7); the benign alpha above exists only to keep masked
+    # lanes' gradients finite, so zero them explicitly — evaluating the
+    # 0.01-alpha stand-in here NEE'd smooth glass through a sharp lobe
+    # (+11% on lights seen through glass, halo fireflies)
+    return (jnp.where(smooth[..., None], 0.0, f),
+            jnp.where(smooth, 0.0, pdf))
 
 
 def sample_ggx_refraction(T, B, N, I, alpha, eta, refr_col, rand):
