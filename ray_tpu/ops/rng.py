@@ -33,6 +33,7 @@ RAND_DIM_LIGHT_PICK = 2
 RAND_DIM_LIGHT = 3
 RAND_DIM_TEX = 4
 RAND_DIM_CACHE = 5
+RAND_DIM_TEX_ANISO = 6  # major-axis jitter of the anisotropic tex filter
 RAND_DIM_BOUNCE_COUNT = 8
 
 RAND_SAMPLES_COUNT = 1 << 16  # index domain for the Owen shuffle of sample ids

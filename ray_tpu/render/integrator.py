@@ -104,6 +104,11 @@ class PassSettings:
     # unlike the process-global ops.traverse.set_force_xla escape hatch — a
     # TPU renderer created after a REF one keeps its Pallas fast path
     force_xla: bool = False
+    # texture filtering: "bilinear" (4-tap), "stochastic" (single jittered
+    # tap, the reference's default — CoreRef.cpp:19), "stochastic_aniso"
+    # (plus a jitter along the ray-cone footprint's major axis — the
+    # anisotropic capability of CoreRef.h:465-474, expressed stochastically)
+    tex_filter: str = "stochastic"
 
 
 def _sh_l1_basis(w):
@@ -461,6 +466,22 @@ def render_tile(
         mix_rx, term_r = rng.scrambled_2d_rand(
             rand_dim + jnp.uint32(rng.RAND_DIM_BSDF_PICK), seed, sample_i
         )
+        # texture filter mode (reference default = stochastic single-tap,
+        # CoreRef.cpp:19 USE_STOCH_TEXTURE_FILTERING; "stochastic_aniso"
+        # adds a jitter along the ray-cone footprint's major axis)
+        fetch_kw = None
+        if scene.has_textures and settings.tex_filter != "bilinear":
+            fetch_kw = {"rand": tex_rand}
+            if settings.tex_filter == "stochastic_aniso":
+                ar, _ = rng.scrambled_2d_rand(
+                    rand_dim + jnp.uint32(rng.RAND_DIM_TEX_ANISO),
+                    seed, sample_i,
+                )
+                fetch_kw.update(
+                    aniso_duv=surf.duv_major_unit
+                    * (cw_at_hit * surf.aniso_elong)[:, None],
+                    aniso_rand=ar,
+                )
 
         ext_ior = (
             _peek_ior(ior_stack, hit.backface) if feats.any_refr
@@ -468,10 +489,10 @@ def render_tile(
         )
         mat_id, mix_rand, mix_weight = surface_mod.resolve_mix(
             scene, mat_id, surf.uv, mix_rx, rd, surf.N, ext_ior, hit.backface,
-            tex_rand, lam=lam,
+            tex_rand, lam=lam, fetch_kw=fetch_kw,
         )
         surf = surface_mod.apply_normal_map(
-            scene, mat_id, surf, rd, tex_rand, lam=lam
+            scene, mat_id, surf, rd, tex_rand, lam=lam, fetch_kw=fetch_kw
         )
 
         reg_alpha = jnp.where(
@@ -479,7 +500,7 @@ def render_tile(
         )
         params = uber.gather_uber_params(
             scene, mat_id, surf.uv, rd, surf.N, hit.backface, ext_ior,
-            tex_rand, regularize_alpha=reg_alpha, lam=lam,
+            tex_rand, regularize_alpha=reg_alpha, lam=lam, fetch_kw=fetch_kw,
             # update pass caches diffuse-ish radiance only: view-dependent
             # sharp lobes are roughened (ShadeRef.cpp:1450-1452)
             min_roughness=(

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ray_tpu.ops.gather import read_packed
@@ -41,6 +42,14 @@ class Surface(NamedTuple):
     backfacing: jnp.ndarray  # (R,) bool
     tri_area: jnp.ndarray    # (R,) world-space triangle area
     lod_base: jnp.ndarray    # (R,) 0.5·log2(ta/pa) cone-LOD term (ShadeRef.cpp:1282)
+    # UV-space direction of the ray-cone footprint's MAJOR axis per unit
+    # world length (the view direction projected into the surface, mapped
+    # through the triangle's world→UV Jacobian) and its elongation factor
+    # 1/|cosθ| - 1 beyond the isotropic width — the ellipse the
+    # anisotropic filter (scene.textures.sample_bilinear aniso path) keys
+    # off.  Capability analogue of CoreRef.h:465-474 SampleAnisotropic.
+    duv_major_unit: jnp.ndarray  # (R, 2)
+    aniso_elong: jnp.ndarray     # (R,)
 
 
 def _inst_xform_point(inst, ii, p):
@@ -200,8 +209,28 @@ def compute_surface(scene, prim, u, v, backface, ro, rd, t, inst=None,
     B = safe_normalize(cross(tangent, N))
     T = cross(N, B)
 
+    # anisotropic footprint: project the view direction into the surface
+    # plane (the ellipse's major axis), map world→UV through the triangle
+    # edges (2x2 normal equations), elongation 1/|cosθ| - 1
+    cosv = jnp.abs(dot(rd, plane_N, False))
+    t_w = rd - dot(rd, plane_N) * plane_N
+    t_w = t_w / jnp.sqrt(jnp.maximum(dot(t_w, t_w, False), 1e-20))[:, None]
+    we1, we2 = p1 - p0, p2 - p0
+    g11 = dot(we1, we1, False)
+    g12 = dot(we1, we2, False)
+    g22 = dot(we2, we2, False)
+    b1 = dot(we1, t_w, False)
+    b2 = dot(we2, t_w, False)
+    det = jnp.maximum(g11 * g22 - g12 * g12, 1e-20)
+    ca = (g22 * b1 - g12 * b2) / det
+    cb = (g11 * b2 - g12 * b1) / det
+    duv_major_unit = ca[:, None] * e1 + cb[:, None] * e2
+    aniso_elong = 1.0 / jnp.maximum(cosv, 0.05) - 1.0
+
     return Surface(P=P, N=N, plane_N=plane_N, T=T, B=B, uv=uv,
-                   backfacing=backface, tri_area=tri_area, lod_base=lod_base)
+                   backfacing=backface, tri_area=tri_area, lod_base=lod_base,
+                   duv_major_unit=jax.lax.stop_gradient(duv_major_unit),
+                   aniso_elong=jax.lax.stop_gradient(aniso_elong))
 
 
 def pick_hit_material(scene, prim, backface, row=None):
@@ -215,7 +244,7 @@ def pick_hit_material(scene, prim, backface, row=None):
 
 
 def resolve_mix(scene, mat_id, uv, mix_rand, I, N, ext_ior, backfacing, tex_rand,
-                lam=None):
+                lam=None, fetch_kw=None):
     """Stochastically resolve Mix-node chains (ShadeRef.cpp:1303-1335).
 
     Returns (leaf_mat_id, rescaled mix_rand, mix_weight).  Unrolled to
@@ -237,7 +266,8 @@ def resolve_mix(scene, mat_id, uv, mix_rand, I, N, ext_ior, backfacing, tex_rand
         if scene.has_textures:
             lod = (None if lam is None
                    else texture_lod(scene.textures, base_tex, lam))
-            tex = sample_bilinear(scene.textures, base_tex, uv, lod)
+            tex = sample_bilinear(scene.textures, base_tex, uv, lod,
+                                  **(fetch_kw or {}))
             mix_val = mix_val * jnp.where(base_tex >= 0, tex[:, 0], 1.0)
         eta = jnp.where(
             backfacing,
@@ -302,7 +332,8 @@ def shadow_transmittance(scene, mat_id, uv, lam=None, depth: int = MAX_MIX_DEPTH
     return jnp.where(is_mix[:, None], mixed, leaf)
 
 
-def apply_normal_map(scene, mat_id, surf: Surface, I, tex_rand, lam=None):
+def apply_normal_map(scene, mat_id, surf: Surface, I, tex_rand, lam=None,
+                     fetch_kw=None):
     """Tangent-space normal mapping + Cycles' ensure_valid_reflection-lite
     clamp (full iterative version: ShadeRef.cpp:252-352; we clamp the shading
     normal so the reflection of -I stays above the geometric horizon)."""
@@ -315,7 +346,8 @@ def apply_normal_map(scene, mat_id, surf: Surface, I, tex_rand, lam=None):
     )
     has = nm >= 0
     lod = None if lam is None else texture_lod(scene.textures, nm, lam)
-    tex = sample_bilinear(scene.textures, nm, surf.uv, lod)
+    tex = sample_bilinear(scene.textures, nm, surf.uv, lod,
+                          **(fetch_kw or {}))
     n_ts = tex[:, :3] * 2.0 - 1.0
     n_ts = n_ts.at[:, 2].set(
         jnp.sqrt(jnp.maximum(1.0 - n_ts[:, 0] ** 2 - n_ts[:, 1] ** 2, 0.0))

@@ -131,7 +131,7 @@ def _spec_ior_from_specular(specular):
 
 def gather_uber_params(scene, mat_id, uv, I, N, backfacing, ext_ior, tex_rand,
                        regularize_alpha=0.0, lam=None, min_roughness=0.0,
-                       feats: MatFeatures = None):
+                       feats: MatFeatures = None, fetch_kw=None):
     """Gather material columns for each hit and resolve node-type semantics
     into the uber parameter block (reference ShadeRef.cpp:1419-1649).
 
@@ -191,7 +191,8 @@ def gather_uber_params(scene, mat_id, uv, I, N, backfacing, ext_ior, tex_rand,
         if not scene.has_textures:  # static: trace away the whole fetch
             return jnp.ones((uv.shape[0], 4), jnp.float32)
         lod = None if lam is None else texture_lod(scene.textures, tex_id, lam)
-        return sample_bilinear(scene.textures, tex_id, uv, lod)
+        return sample_bilinear(scene.textures, tex_id, uv, lod,
+                               **(fetch_kw or {}))
 
     tex = _fetch(base_tex)
     base_color = base_color * jnp.where((base_tex >= 0)[:, None], tex[:, :3], 1.0)

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 NUM_MIP_LEVELS = 12  # reference internal/Constants.inl:92
+ANISO_TAPS = 4       # taps along the footprint's major axis (aniso filter)
 
 
 def _srgb_to_linear_np(c):
@@ -212,8 +213,9 @@ def texture_lod(tex, tex_id, lam):
     return jax.lax.stop_gradient(lod)
 
 
-def sample_bilinear(tex, tex_id, uv, lod=None):
-    """Bilinear texture fetch, vectorized over rays.
+def sample_bilinear(tex, tex_id, uv, lod=None, rand=None, aniso_duv=None,
+                    aniso_rand=None):
+    """Texture fetch, vectorized over rays.
 
     Args:
       tex: the packed texture dict (jnp arrays).
@@ -221,9 +223,28 @@ def sample_bilinear(tex, tex_id, uv, lod=None):
       uv: (R, 2) f32, wrap-around addressing like the reference's default
           sampler (internal/TextureStorageCPU.h fetch with repeat).
       lod: (R,) f32 mip level or None for level 0.
+      rand: optional (R, 2) — STOCHASTIC filtering (the reference's
+          default, USE_STOCH_TEXTURE_FILTERING, CoreRef.cpp:2870-2875):
+          jitter the UV by rand and take ONE nearest tap; expectation
+          equals the bilinear filter at a quarter of the gathers.
+      aniso_duv: optional (R, 2) UV-space extent of the footprint's major
+          axis beyond the isotropic cone width; ANISOTROPIC filtering
+          keyed off the ray-cone ellipse (CoreRef.h:465-474's
+          SampleAnisotropic): ``ANISO_TAPS`` stratified taps along the
+          axis (jitter-offset by ``aniso_rand`` (R,)), each a stochastic
+          single-texel fetch — per-sample variance drops ~1/taps, which
+          is what makes it beat the isotropic filter at equal spp.
 
     Returns (R, 4) f32 RGBA.  Differentiable w.r.t. ``tex['texels']``.
     """
+    if aniso_duv is not None and aniso_rand is not None:
+        outs = []
+        for k in range(ANISO_TAPS):
+            frac = (k + aniso_rand) / ANISO_TAPS - 0.5
+            outs.append(sample_bilinear(
+                tex, tex_id, uv + aniso_duv * frac[..., None], lod,
+                rand=rand))
+        return sum(outs) / ANISO_TAPS
     safe_id = jnp.maximum(tex_id, 0)
     mip0 = tex["tex_mip0"][safe_id]
     if lod is None:
@@ -267,15 +288,19 @@ def sample_bilinear(tex, tex_id, uv, lod=None):
         dec = jnp.concatenate([rgb, jnp.ones_like(t)[None, :]], axis=0)
         return jnp.where(fmt[None, :] == 1, dec, raw)
 
-    c00 = texel(x0, y0)
-    c10 = texel(x0 + 1, y0)
-    c01 = texel(x0, y0 + 1)
-    c11 = texel(x0 + 1, y0 + 1)
-    out = (
-        c00 * (1 - fu) * (1 - fv)
-        + c10 * fu * (1 - fv)
-        + c01 * (1 - fu) * fv
-        + c11 * fu * fv
-    )
+    if rand is not None:
+        # stochastic single tap (expectation == the 4-tap filter below)
+        out = texel(jnp.floor(u + rand[..., 0]), jnp.floor(v + rand[..., 1]))
+    else:
+        c00 = texel(x0, y0)
+        c10 = texel(x0 + 1, y0)
+        c01 = texel(x0, y0 + 1)
+        c11 = texel(x0 + 1, y0 + 1)
+        out = (
+            c00 * (1 - fu) * (1 - fv)
+            + c10 * fu * (1 - fv)
+            + c01 * (1 - fu) * fv
+            + c11 * fu * fv
+        )
     out = jnp.where(tex_id[None, :] >= 0, out, jnp.ones_like(out))
     return out.T

@@ -34,6 +34,44 @@ def test_nlm_reduces_error(renders):
     assert mse_den < 0.6 * mse_raw, (mse_raw, mse_den)
 
 
+def test_unet_trained_weights_denoise():
+    """The shipped trained weights (scripts/train_unet.py →
+    models/weights/unet_hdr_alb_nrm.npz — the role of the reference's
+    embedded OIDN blob, UNetFilter.cpp:12-13) must actually denoise:
+    output MSE < 0.6x input MSE, same gate as the NLM test.  Uses a
+    96x96 render — the network trains at 256^2 and its 4-level encoder
+    needs a real spatial extent (a 32^2 input leaves a 2x2 bottleneck)."""
+    import os
+
+    from ray_tpu.models.unet import WEIGHTS_PATH, UNetFilter
+
+    if not os.path.exists(WEIGHTS_PATH):
+        pytest.skip("trained weights not generated (scripts/train_unet.py)")
+    f = UNetFilter()
+    assert f.using_trained
+
+    res = 96
+    sc, cam = cornell_scene("emissive_quad")
+    flat = sc.finalize()
+    settings = PassSettings(max_total_depth=3, min_total_depth=3)
+    noisy = Renderer(RenderSettings(res, res), settings)
+    noisy.render(flat, cam, 4)
+    clean = Renderer(RenderSettings(res, res), settings)
+    clean.render(flat, cam, 256)
+    ref = clean.radiance_image()
+    raw = noisy.radiance_image()
+    den = np.asarray(noisy.denoise_image("unet"))
+    assert np.isfinite(den).all()
+    # gate on non-emitter pixels: the log-L1 training objective (OIDN's
+    # recipe) barely penalizes absolute errors on the few very bright
+    # emitter texels, so linear MSE there is dominated by the lamp's
+    # reconstruction, not by denoising quality
+    m = ref.max(-1) < 2.0
+    mse_raw = float(np.mean(((raw - ref) ** 2)[m]))
+    mse_den = float(np.mean(((den - ref) ** 2)[m]))
+    assert mse_den < 0.6 * mse_raw, (mse_raw, mse_den)
+
+
 def test_unet_runs_and_trains(renders):
     import jax.numpy as jnp
     import optax
