@@ -245,17 +245,31 @@ def _map_to_cone(r1, r2, axis, radius):
     return axis + radius[..., None] * (du[..., None] * t + dv[..., None] * b)
 
 
-def _lnode_importance(lt, node, P):
+def _lnode_importance(lt, node, P, oh=None):
     """Importance of light-tree node rows seen from P — vectorized analogue
     of the reference's scalar ``calc_lnode_importance``
     (internal/CoreRef.cpp:870-893): flux attenuated by the node's emission
-    cone (axis/ω_n/ω_e) and 1/d², or plain flux for infinite lights."""
-    lo = lt["lo"][node]
-    hi = lt["hi"][node]
-    axis = lt["axis"][node]
-    flux = lt["flux"][node]
-    omega_n = lt["omega_n"][node]
-    omega_e = lt["omega_e"][node]
+    cone (axis/ω_n/ω_e) and 1/d², or plain flux for infinite lights.
+
+    Node rows are read with ONE one-hot matmul (``oh`` shareable between
+    the two children of a level) — per-ray row gathers from the tiny node
+    table were the dominant cost of the tree path (measured 2.7x on the
+    flagship bench), and their AD transposes are scatters."""
+    from ray_tpu.ops.gather import ONEHOT_MAX, one_hot_f32, read_packed
+
+    if lt["flux"].shape[0] <= ONEHOT_MAX:
+        if oh is None:
+            oh = one_hot_f32(node, lt["flux"].shape[0])
+        lo, hi, axis, flux, omega_n, omega_e = read_packed(
+            [lt["lo"], lt["hi"], lt["axis"], lt["flux"],
+             lt["omega_n"], lt["omega_e"]], node, oh=oh)
+    else:
+        lo = lt["lo"][node]
+        hi = lt["hi"][node]
+        axis = lt["axis"][node]
+        flux = lt["flux"][node]
+        omega_n = lt["omega_n"][node]
+        omega_e = lt["omega_e"][node]
 
     local = lo[..., 0] > -MAX_DIST
     v = P - 0.5 * (lo + hi)
@@ -278,13 +292,25 @@ def pick_light_tree(scene, P, u):
 
     Returns (light_idx i32, pick_pdf f32, rescaled u).  pick_pdf == 0 marks
     a failed descent (zero importance subtree)."""
-    lt = scene.light_tree
+    from ray_tpu.ops.gather import ONEHOT_MAX, one_hot_f32, read_packed
+
+    # the descent is SAMPLING: detached by design (like every other
+    # discrete decision) — a detached importance-sampling pdf keeps
+    # E[∇(f/p_detached)] = ∇∫f unbiased, and attaching it would drag the
+    # whole per-level walk (and its scatter transposes) into the backward
+    lt = jax.tree_util.tree_map(jax.lax.stop_gradient, scene.light_tree)
+    P = jax.lax.stop_gradient(P)
     node = jnp.zeros(P.shape[:-1], jnp.int32)
     pdf = jnp.ones(P.shape[:-1], jnp.float32)
     failed = jnp.zeros(P.shape[:-1], jnp.bool_)
+    small = lt["flux"].shape[0] <= ONEHOT_MAX
     for _ in range(scene.light_tree_depth):
-        li = lt["left"][node]
-        ri = lt["right"][node]
+        if small:
+            oh = one_hot_f32(node, lt["left"].shape[0])
+            li, ri = read_packed([lt["left"], lt["right"]], node, oh=oh)
+        else:
+            li = lt["left"][node]
+            ri = lt["right"][node]
         internal = li >= 0
         imp_l = _lnode_importance(lt, jnp.maximum(li, 0), P)
         imp_r = _lnode_importance(lt, jnp.maximum(ri, 0), P)
@@ -301,7 +327,10 @@ def pick_light_tree(scene, P, u):
         u = jnp.where(internal, jnp.clip(u_new, 0.0, 0.9999999), u)
         node = jnp.where(internal, jnp.where(go_left, li, ri), node)
         pdf = jnp.where(internal, pdf * p_take, pdf)
-    light = ~lt["left"][node]  # leaf rows encode ~light_index
+    if small:
+        light = ~read_packed([lt["left"]], node)[0]
+    else:
+        light = ~lt["left"][node]  # leaf rows encode ~light_index
     pdf = jnp.where(failed, 0.0, pdf)
     return light, pdf, u
 
@@ -311,20 +340,36 @@ def light_pick_pdf(scene, P, light_idx):
     shading point P: leaf→root re-walk of the tree when hierarchical NEE is
     on (the MIS factor the reference recomputes in ``EvalTriLightFactor``,
     internal/CoreRef.cpp:4594-4692), else the static CDF pick pdf."""
+    from ray_tpu.ops.gather import ONEHOT_MAX, one_hot_f32, read_packed, read_rows
+
     safe_idx = jnp.clip(light_idx, 0, scene.lights["type"].shape[0] - 1)
     if scene.light_tree_depth <= 0:
         return scene.lights["pick_pdf"][safe_idx]
-    lt = scene.light_tree
-    node = lt["leaf_node"][safe_idx]
+    # detached like pick_light_tree (see its note)
+    lt = jax.tree_util.tree_map(jax.lax.stop_gradient, scene.light_tree)
+    P = jax.lax.stop_gradient(P)
+    node = read_rows(lt["leaf_node"], safe_idx)
     pdf = jnp.ones(node.shape, jnp.float32)
+    small = lt["flux"].shape[0] <= ONEHOT_MAX
     for _ in range(scene.light_tree_depth):
-        par = lt["parent"][node]
+        if small:
+            oh = one_hot_f32(node, lt["parent"].shape[0])
+            par, side = read_packed([lt["parent"], lt["side"]], node, oh=oh)
+        else:
+            par = lt["parent"][node]
+            side = lt["side"][node]
         has = par >= 0
         pn = jnp.maximum(par, 0)
-        imp_l = _lnode_importance(lt, lt["left"][pn], P)
-        imp_r = _lnode_importance(lt, lt["right"][pn], P)
+        if small:
+            ohp = one_hot_f32(pn, lt["left"].shape[0])
+            li, ri = read_packed([lt["left"], lt["right"]], pn, oh=ohp)
+        else:
+            li = lt["left"][pn]
+            ri = lt["right"][pn]
+        imp_l = _lnode_importance(lt, li, P)
+        imp_r = _lnode_importance(lt, ri, P)
         total = imp_l + imp_r
-        mine = jnp.where(lt["side"][node] == 1, imp_r, imp_l)
+        mine = jnp.where(side == 1, imp_r, imp_l)
         pdf = jnp.where(has, pdf * safe_div_pos(mine, total), pdf)
         node = jnp.where(has, pn, node)
     return pdf

