@@ -458,11 +458,13 @@ def trace_bvh_pallas(bvh_soa, tri_soa, ro, rd, t_min, t_max, active, *,
     are packed into 128-entry gather segments; rays stream through in
     (block_rows × 128)-lane blocks, each exiting its while-loop as soon as
     every ray in the block is done.  Default block size shrinks with
-    ``max_leaf``: the unrolled leaf loop's live temporaries scale the
-    kernel's scoped-VMEM stack, and fat-8 leaves at 256 rows exceed the
-    16 MB limit (measured 21.3 MB)."""
+    ``max_leaf`` AND ``stack_size``: the unrolled leaf loop's live
+    temporaries and the (stack, B, 128) scratch both scale the kernel's
+    scoped-VMEM stack — fat-8 leaves at 256 rows measured 21.3 MB, and
+    ~500-row scenes (stack ≥ 16) measured 19.8 MB against the 16 MB
+    limit (caught by tests/test_traverse_pallas.py on hardware)."""
     if block_rows is None:
-        block_rows = 256 if max_leaf <= 4 else 128
+        block_rows = 128 if (max_leaf > 4 or stack_size >= 16) else 256
     sg = jax.lax.stop_gradient
     ro, rd, t_min, t_max = sg(ro), sg(rd), sg(t_min), sg(t_max)
     bvh_soa = jax.tree_util.tree_map(sg, bvh_soa)
