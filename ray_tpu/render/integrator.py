@@ -494,6 +494,7 @@ def render_tile(
         surf = surface_mod.apply_normal_map(
             scene, mat_id, surf, rd, tex_rand, lam=lam, fetch_kw=fetch_kw
         )
+        surf = surface_mod.apply_tangent_rotation(scene, mat_id, surf)
 
         reg_alpha = jnp.where(
             is_first, 0.0, jnp.float32(settings.regularize_alpha)

@@ -50,6 +50,9 @@ class Surface(NamedTuple):
     # off.  Capability analogue of CoreRef.h:465-474 SampleAnisotropic.
     duv_major_unit: jnp.ndarray  # (R, 2)
     aniso_elong: jnp.ndarray     # (R,)
+    # raw (unorthonormalized) radial tangent, kept so the frame can be
+    # rebuilt after normal mapping / per-material tangent rotation
+    raw_tangent: jnp.ndarray     # (R, 3)
 
 
 def _inst_xform_point(inst, ii, p):
@@ -90,8 +93,9 @@ def hit_light_id(scene, prim, inst=None, row=None):
     return ids
 
 
-# named pieces of the packed (T, 29) tri_surf row (scene._pack_tri_surf):
-# p0 p1 p2 | n0 n1 n2 | uv0 uv1 uv2 | mat_f mat_b | solid_f solid_b | light
+# named pieces of the packed (T, 41) tri_surf row (scene._pack_tri_surf):
+# p0 p1 p2 | n0 n1 n2 | uv0 uv1 uv2 | mat_f mat_b | solid_f solid_b |
+# light | tanq tanq0 (affine world→object-radial-tangent map)
 TRI_PIECES = {
     "p0": (0, 3), "p1": (3, 6), "p2": (6, 9),
     "n0": (9, 12), "n1": (12, 15), "n2": (15, 18),
@@ -99,6 +103,7 @@ TRI_PIECES = {
     "mat_f": (24, 25), "mat_b": (25, 26),
     "solid_f": (26, 27), "solid_b": (27, 28),
     "light": (28, 29),
+    "tanq": (29, 38), "tanq0": (38, 41),
 }
 
 
@@ -143,12 +148,16 @@ def fetch_tri_pieces(table, prim, keys, onehot_max=128):
     return out
 
 
+_DEFAULT_KEYS = tuple(k for k in TRI_PIECES if k not in ("tanq", "tanq0"))
+
+
 def fetch_tri_row(scene, prim, keys=None):
     """Per-hit surface attributes as a dict of named pieces (see
     ``TRI_PIECES``).  Gradients w.r.t. geometry flow through
-    ``scene.tri_surf``.  ``keys``: subset to fetch (default: all)."""
+    ``scene.tri_surf``.  ``keys``: subset to fetch (default: everything
+    but the tangent map, which compute_surface fetches on demand)."""
     return fetch_tri_pieces(
-        scene.tri_surf, prim, tuple(TRI_PIECES) if keys is None else keys
+        scene.tri_surf, prim, _DEFAULT_KEYS if keys is None else keys
     )
 
 
@@ -201,9 +210,28 @@ def compute_surface(scene, prim, u, v, backface, ro, rd, t, inst=None,
     N = jnp.where(flip, -N, N)
     plane_N = jnp.where(flip, -plane_N, plane_N)
 
-    # radial tangent like the reference (ShadeRef.cpp:1358-1372): rotate the
-    # local position around Y; degenerate case falls back to the position
-    tangent = jnp.stack([-P[:, 2], jnp.zeros_like(P[:, 0]), P[:, 0]], axis=-1)
+    # radial tangent like the reference (ShadeRef.cpp:1355-1366): rotate the
+    # OBJECT-SPACE hit position around Y, then transform the direction back
+    # to world (instances may rotate — a world-space radial tangent would
+    # mis-orient anisotropy on them).  Flatten mode bakes the affine map
+    # Q·P + q0 per triangle; TLAS mode applies the instance inverse live.
+    # Degenerate case falls back to the position direction.
+    if scene.mode == "tlas":
+        ii = jnp.maximum(inst, 0) if inst is not None else jnp.zeros(
+            P.shape[:1], jnp.int32)
+        iv = scene.inst
+        plsx = iv["inv00"][ii] * P[:, 0] + iv["inv01"][ii] * P[:, 1] \
+            + iv["inv02"][ii] * P[:, 2] + iv["invtx"][ii]
+        plsz = iv["inv20"][ii] * P[:, 0] + iv["inv21"][ii] * P[:, 1] \
+            + iv["inv22"][ii] * P[:, 2] + iv["invtz"][ii]
+        t_ls = jnp.stack([-plsz, jnp.zeros_like(plsx), plsx], axis=-1)
+        tangent = _inst_xform_normal(scene.inst, ii, t_ls)
+    else:
+        tq = fetch_tri_pieces(scene.tri_surf, prim, ("tanq", "tanq0"))
+        Q = tq["tanq"].reshape(-1, 3, 3)
+        tangent = jnp.einsum("rij,rj->ri", Q, P,
+                             precision=jax.lax.Precision.HIGHEST) \
+            + tq["tanq0"]
     degenerate = dot(cross(tangent, N), cross(tangent, N), False) < 1e-20
     tangent = jnp.where(degenerate[:, None], P, tangent)
     B = safe_normalize(cross(tangent, N))
@@ -230,7 +258,30 @@ def compute_surface(scene, prim, u, v, backface, ro, rd, t, inst=None,
     return Surface(P=P, N=N, plane_N=plane_N, T=T, B=B, uv=uv,
                    backfacing=backface, tri_area=tri_area, lod_base=lod_base,
                    duv_major_unit=jax.lax.stop_gradient(duv_major_unit),
-                   aniso_elong=jax.lax.stop_gradient(aniso_elong))
+                   aniso_elong=jax.lax.stop_gradient(aniso_elong),
+                   raw_tangent=tangent)
+
+
+def apply_tangent_rotation(scene, mat_id, surf: Surface):
+    """Per-material tangent rotation about the (possibly normal-mapped)
+    shading normal, then frame rebuild — ShadeRef.cpp:1362-1366 with
+    tangent_rotation = 2π·anisotropic_rotation (SceneCPU.cpp:226,263).
+    Static no-op when no material rotates."""
+    if not scene.has_aniso_rotation:
+        return surf
+    rot = read_packed([scene.materials["anisotropic_rotation"]],
+                      jnp.maximum(mat_id, 0))[0]
+    angle = 2.0 * jnp.pi * jnp.clip(rot, 0.0, 1.0)
+    n = surf.N
+    t = surf.raw_tangent
+    c = jnp.cos(angle)[:, None]
+    s = jnp.sin(angle)[:, None]
+    ndt = dot(n, t)
+    t_rot = t * c + cross(n, t) * s + n * ndt * (1.0 - c)
+    tangent = jnp.where((angle != 0.0)[:, None], t_rot, t)
+    B = safe_normalize(cross(tangent, n))
+    T = cross(n, B)
+    return surf._replace(T=T, B=B)
 
 
 def pick_hit_material(scene, prim, backface, row=None):

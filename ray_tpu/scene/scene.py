@@ -128,6 +128,11 @@ class SceneFlat:
     has_normal_maps: bool = dataclasses.field(
         default=True, metadata=dict(static=True)
     )
+    # any material carries a non-zero anisotropic_rotation (the tangent
+    # rotation only matters then — ShadeRef.cpp:1362)
+    has_aniso_rotation: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
     # sorted tuple of ShadingNode types present — kernels specialize per
     # node-type set at trace time, the XLA analogue of the reference's
     # per-feature-define shader variants (scripts/compile_shaders.py:155+,
@@ -156,18 +161,37 @@ def _bvh_soa_with_wide(bvh, tri_soa, tri_vis=None, min_tris: int = 256):
     return out
 
 
+# radial-tangent rotation: maps a local position to (-z, 0, x)
+# (the reference's "rotate around Y by 90 degrees in 2d", ShadeRef.cpp:1357)
+_R90 = np.array([[0.0, 0.0, -1.0],
+                 [0.0, 0.0, 0.0],
+                 [1.0, 0.0, 0.0]], np.float64)
+
+
 def _pack_tri_surf(vertices, normals, uvs, tri_vidx, tri_mats, tri_solid,
-                   tri_light):
-    """Pack per-triangle surface attributes into one (T, 29) f32 row so a
+                   tri_light, tangent_q=None, tangent_q0=None):
+    """Pack per-triangle surface attributes into one (T, 41) f32 row so a
     hit needs a single row gather instead of ~14 separate ones (TPU row
     gathers near-serialize; see ops/gather.py).  Layout:
     p0 p1 p2 (9) | n0 n1 n2 (9) | uv0 uv1 uv2 (6) | mat_f mat_b (2) |
-    solid_f solid_b (2) | light (1).  Int columns ride as exact f32
-    (< 2^24)."""
+    solid_f solid_b (2) | light (1) | tanq (9) | tanq0 (3).  Int columns
+    ride as exact f32 (< 2^24).
+
+    ``tangent_q``/``tangent_q0``: per-triangle affine map turning the
+    WORLD hit position into the reference's OBJECT-SPACE radial tangent
+    (ShadeRef.cpp:1355-1358 computes it from P_local and transforms it by
+    the instance inverse): tangent = Q·P + q0 with
+    Q = (A⁻¹)ᵀ·R90·A⁻¹ and q0 = -(A⁻¹)ᵀ·R90·A⁻¹·b for instance
+    transform x → A·x + b.  With identity instancing Q == R90, q0 == 0
+    (the defaults)."""
     p = vertices[tri_vidx]            # (T, 3, 3)
     n = normals[tri_vidx]
     t = uvs[tri_vidx]                 # (T, 3, 2)
     T = tri_vidx.shape[0]
+    if tangent_q is None:
+        tangent_q = np.broadcast_to(_R90, (T, 3, 3))
+    if tangent_q0 is None:
+        tangent_q0 = np.zeros((T, 3), np.float64)
     return np.concatenate([
         p.reshape(T, 9).astype(np.float32),
         n.reshape(T, 9).astype(np.float32),
@@ -175,6 +199,8 @@ def _pack_tri_surf(vertices, normals, uvs, tri_vidx, tri_mats, tri_solid,
         tri_mats.astype(np.float32),
         tri_solid.astype(np.float32),
         tri_light.astype(np.float32)[:, None],
+        np.ascontiguousarray(tangent_q.reshape(T, 9)).astype(np.float32),
+        np.ascontiguousarray(tangent_q0.reshape(T, 3)).astype(np.float32),
     ], axis=1)
 
 
@@ -462,17 +488,29 @@ class Scene:
     def _finalize_flatten(self, max_leaf, light_tree_min_lights, has_vis,
                           fast_build=False):
         verts, norms, uvs, tris, tri_mat, tri_vis = [], [], [], [], [], []
+        tan_q, tan_q0 = [], []
         voffset = 0
         for mesh_id, xf, vis in self._instances:
             m = self._meshes[mesh_id]
             v, n = m.vertices, m.normals
+            nt = m.indices.shape[0]
             if xf is not None:
                 r = xf[:3, :3]
                 t = xf[:3, 3]
                 v = v @ r.T + t
-                n_mat = np.linalg.inv(r).T
+                rinv = np.linalg.inv(np.asarray(r, np.float64))
+                n_mat = rinv.T
                 n = n @ n_mat.T
                 n = n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+                # object-space radial tangent as an affine map of the WORLD
+                # hit point (see _pack_tri_surf): tangent = Q·P + q0
+                q = n_mat @ _R90 @ rinv
+                q0 = -(q @ np.asarray(t, np.float64))
+            else:
+                q = _R90
+                q0 = np.zeros(3, np.float64)
+            tan_q.append(np.broadcast_to(q, (nt, 3, 3)))
+            tan_q0.append(np.broadcast_to(q0, (nt, 3)))
             verts.append(v.astype(np.float32))
             norms.append(n.astype(np.float32))
             uvs.append(m.uvs)
@@ -480,6 +518,10 @@ class Scene:
             tri_mat.append(m.tri_mat)
             tri_vis.append(np.full(m.indices.shape[0], vis, np.int32))
             voffset += v.shape[0]
+        tangent_q = (np.concatenate(tan_q) if tan_q
+                     else np.broadcast_to(_R90, (1, 3, 3)))
+        tangent_q0 = (np.concatenate(tan_q0) if tan_q0
+                      else np.zeros((1, 3), np.float64))
 
         vertices = np.concatenate(verts) if verts else np.zeros((3, 3), np.float32)
         normals = np.concatenate(norms) if norms else np.zeros((3, 3), np.float32)
@@ -508,6 +550,8 @@ class Scene:
         tri_vidx = tri_vidx[perm]
         tri_mats = tri_mats[perm]
         tri_viss = tri_viss[perm]
+        tangent_q = tangent_q[perm]
+        tangent_q0 = tangent_q0[perm]
 
         # emissive triangles with importance_sample → TRI lights
         # (the reference registers these during Finalize; SceneCPU.cpp:1214)
@@ -549,6 +593,7 @@ class Scene:
             "tri_surf": _pack_tri_surf(
                 vertices, normals, uv, tri_vidx, tri_mats,
                 self._tri_solidity(tri_mats), tri_light,
+                tangent_q=tangent_q, tangent_q0=tangent_q0,
             ),
             "bvh_soa": _bvh_soa_with_wide(
                 bvh, pack_tri_soa(vertices, tri_vidx),
@@ -893,6 +938,9 @@ class Scene:
                 ),
                 "has_normal_maps": any(
                     d.normal_map >= 0 for d in self._materials
+                ),
+                "has_aniso_rotation": any(
+                    d.anisotropic_rotation != 0.0 for d in self._materials
                 ),
                 "mat_types": tuple(
                     sorted({int(d.type) for d in self._materials})
