@@ -48,42 +48,42 @@ def bench_scene(scene, cam, settings, iters=5, bands=1):
     band_h = HEIGHT // bands
     target = jnp.zeros((band_h * WIDTH, 3), jnp.float32)
 
-    def loss_fn(params, iteration):
+    def loss_fn(params, y0, iteration):
         merged = dict(scene.materials)
         merged.update(params["materials"])
         sc_ = dataclasses.replace(
             scene, materials=merged, env_col=params["env_col"]
         )
-        loss = 0.0
-        rays = 0
-        for b in range(bands):
-            out = render_tile(
-                sc_, cam, table, jnp.int32(0), jnp.int32(b * band_h),
-                iteration, jnp.uint32(0),
-                width=WIDTH, height=HEIGHT, tile_w=WIDTH, tile_h=band_h,
-                settings=settings, use_filter_table=False,
-            )
-            loss = loss + jnp.sum((out["color"] - target) ** 2)
-            rays = rays + out["rays_traced"]
-        return loss / (HEIGHT * WIDTH * 3), rays
+        out = render_tile(
+            sc_, cam, table, jnp.int32(0), y0, iteration, jnp.uint32(0),
+            width=WIDTH, height=HEIGHT, tile_w=WIDTH, tile_h=band_h,
+            settings=settings, use_filter_table=False,
+        )
+        loss = jnp.sum((out["color"] - target) ** 2) / (HEIGHT * WIDTH * 3)
+        return loss, out["rays_traced"]
 
     @jax.jit
-    def fwd_bwd(params, iteration):
+    def fwd_bwd(params, y0, iteration):
+        # one band per call (compiled once, reused per band): full-frame
+        # loss and grads are the sums over bands
         (loss, rays), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, iteration
+            params, y0, iteration
         )
         return loss, rays, grads
 
     # warmup / compile
-    loss, rays, grads = fwd_bwd(params0, jnp.uint32(1))
+    loss, rays, grads = fwd_bwd(params0, jnp.int32(0), jnp.uint32(1))
     jax.block_until_ready((loss, rays, grads))
 
     t0 = time.perf_counter()
     total_rays = 0
     for i in range(iters):
-        loss, rays, grads = fwd_bwd(params0, jnp.uint32(2 + i))
-        jax.block_until_ready((loss, rays, grads))
-        total_rays += int(rays)
+        for b in range(bands):
+            loss, rays, grads = fwd_bwd(
+                params0, jnp.int32(b * band_h), jnp.uint32(2 + i)
+            )
+            total_rays += int(rays)
+    jax.block_until_ready((loss, rays, grads))
     dt = time.perf_counter() - t0
     return total_rays / dt / 1e6
 
