@@ -392,7 +392,8 @@ class Scene:
     def finalize(self, max_leaf: int | None = None,
                  light_tree_min_lights: int = 2,
                  instancing: str = "auto",
-                 fast_build: bool = False) -> SceneFlat:
+                 fast_build: bool = False,
+                 spatial_splits: bool = False) -> SceneFlat:
         """Compile to a SceneFlat (the analogue of Scene::Finalize,
         SceneCPU.cpp:882: env light registration + BVH + light table).
 
@@ -412,6 +413,12 @@ class Scene:
         are built with fat leaves (never split below max_leaf) — measured
         4.3× faster tracing at 437k tris than the classic per-triangle
         SAH leaf cost (scripts/exp_leaf.py).
+
+        ``spatial_splits``: SBVH reference splitting for scenes with long
+        thin / diagonally-overlapping triangles (the reference's
+        BVHSplit.h:20 spatial path).  Duplicated leaf references are
+        deduped before TRI-light registration so emissive flux is counted
+        once.
         """
         from ray_tpu.scene.visibility import RAY_ALL
 
@@ -427,11 +434,13 @@ class Scene:
         if instancing == "tlas":
             return self._finalize_tlas(
                 max_leaf if max_leaf is not None else 4,
-                light_tree_min_lights, has_vis, fast_build
+                light_tree_min_lights, has_vis, fast_build,
+                spatial_splits=spatial_splits,
             )
         return self._finalize_flatten(
             max_leaf if max_leaf is not None else 8,
-            light_tree_min_lights, has_vis, fast_build
+            light_tree_min_lights, has_vis, fast_build,
+            spatial_splits=spatial_splits,
         )
 
     def _material_solidity(self) -> np.ndarray:
@@ -486,7 +495,7 @@ class Scene:
         return col, d.two_sided
 
     def _finalize_flatten(self, max_leaf, light_tree_min_lights, has_vis,
-                          fast_build=False):
+                          fast_build=False, spatial_splits=False):
         verts, norms, uvs, tris, tri_mat, tri_vis = [], [], [], [], [], []
         tan_q, tan_q0 = [], []
         voffset = 0
@@ -544,6 +553,10 @@ class Scene:
             from ray_tpu.scene.hlbvh import build_hlbvh
 
             bvh = build_hlbvh(lo, hi, max_leaf=max_leaf)
+        elif spatial_splits:
+            bvh = build_bvh2(lo, hi, max_leaf=max_leaf, fat_leaves=True,
+                             spatial_splits=True,
+                             tri_verts=vertices[tri_vidx])
         else:
             bvh = build_bvh2(lo, hi, max_leaf=max_leaf, fat_leaves=True)
         perm = bvh.prim_indices
@@ -558,9 +571,14 @@ class Scene:
         light_descs = list(self._lights)
         tri_areas = {}
         tri_light = np.full(tri_vidx.shape[0], -1, np.int32)
+        seen_orig = {}  # original tri id -> light index (SBVH dup dedupe)
         for t in range(tri_vidx.shape[0]):
             em = self._emissive_light_of(int(tri_mats[t, 0]))
             if em is None:
+                continue
+            orig_id = int(perm[t])
+            if orig_id in seen_orig:
+                tri_light[t] = seen_orig[orig_id]
                 continue
             col, two_sided = em
             p = vertices[tri_vidx[t]]
@@ -577,6 +595,7 @@ class Scene:
             )
             tri_areas[li] = float(area)
             tri_light[t] = li
+            seen_orig[orig_id] = li
 
         common = self._pack_common(
             light_descs, tri_areas, vertices, tri_vidx, light_tree_min_lights
@@ -617,7 +636,7 @@ class Scene:
         )
 
     def _finalize_tlas(self, max_leaf, light_tree_min_lights, has_vis,
-                       fast_build=False):
+                       fast_build=False, spatial_splits=False):
         """Two-level compile: per-mesh object-space BLAS + TLAS over
         instances, all nodes merged into one code space (TLAS rows first;
         see ops/traverse.py _traverse_tlas)."""
@@ -641,6 +660,10 @@ class Scene:
             lo, hi = tri_bounds(m.vertices, m.indices)
             if fast_build:
                 blas[mi] = _build(lo, hi, max_leaf=max_leaf)
+            elif spatial_splits:
+                blas[mi] = _build(lo, hi, max_leaf=max_leaf, fat_leaves=True,
+                                  spatial_splits=True,
+                                  tri_verts=m.vertices[m.indices])
             else:
                 blas[mi] = _build(lo, hi, max_leaf=max_leaf, fat_leaves=True)
 
@@ -663,11 +686,17 @@ class Scene:
             # per-mesh emissive ordinals (light id = inst light_base + ordinal)
             local = np.full(perm.shape[0], -1, np.int32)
             em_list = []
+            seen_orig = {}  # original tri id -> ordinal (SBVH dup dedupe)
             for t in range(perm.shape[0]):
                 em = self._emissive_light_of(int(m.tri_mat[perm[t], 0]))
                 if em is None:
                     continue
+                orig_id = int(perm[t])
+                if orig_id in seen_orig:
+                    local[t] = seen_orig[orig_id]
+                    continue
                 local[t] = len(em_list)
+                seen_orig[orig_id] = local[t]
                 em_list.append((t, em[0], em[1]))
             mesh_emissive[mi] = em_list
             tri_light_local_parts.append(local)
