@@ -30,59 +30,66 @@ import jax.numpy as jnp
 WIDTH, HEIGHT = 1920, 1080
 
 
-def bench_scene(scene, cam, settings, iters=5, bands=1):
-    """``bands``: render the frame as that many horizontal bands (the
-    reference's bucket rendering, RegionContext).  Each band's traversal
+def bench_scene(scene, cam, settings, iters=5, bands=1, grid=None):
+    """``grid=(nx, ny)``: render the frame as nx × ny tiles (the
+    reference's bucket rendering, RegionContext).  Each tile's traversal
     while-loop exits at ITS slowest ray instead of the frame's — on the
-    divergent big scene this is worth ~1.75x (0.32 -> 0.56 Mray/s
-    measured) because sky bands stop walking the BVH early."""
+    divergent big scene 12 bands were worth ~1.75x (0.32 -> 0.56 Mray/s)
+    because sky tiles stop walking the BVH early; squarer tiles add
+    locality on top (rays in a square tile share BVH subtrees).
+    ``bands=n`` is shorthand for grid=(1, n)."""
     from ray_tpu.render.integrator import render_tile
     from ray_tpu.scene.camera import build_filter_table
 
+    nx, ny = grid if grid is not None else (1, bands)
     table = jnp.asarray(build_filter_table(cam.filter, cam.filter_width))
     mat_float = {
         k: v for k, v in scene.materials.items()
         if jnp.issubdtype(v.dtype, jnp.floating)
     }
     params0 = {"materials": mat_float, "env_col": scene.env_col}
-    band_h = HEIGHT // bands
-    target = jnp.zeros((band_h * WIDTH, 3), jnp.float32)
+    tile_w, tile_h = WIDTH // nx, HEIGHT // ny
+    target = jnp.zeros((tile_h * tile_w, 3), jnp.float32)
 
-    def loss_fn(params, y0, iteration):
+    def loss_fn(params, x0, y0, iteration):
         merged = dict(scene.materials)
         merged.update(params["materials"])
         sc_ = dataclasses.replace(
             scene, materials=merged, env_col=params["env_col"]
         )
         out = render_tile(
-            sc_, cam, table, jnp.int32(0), y0, iteration, jnp.uint32(0),
-            width=WIDTH, height=HEIGHT, tile_w=WIDTH, tile_h=band_h,
+            sc_, cam, table, x0, y0, iteration, jnp.uint32(0),
+            width=WIDTH, height=HEIGHT, tile_w=tile_w, tile_h=tile_h,
             settings=settings, use_filter_table=False,
         )
         loss = jnp.sum((out["color"] - target) ** 2) / (HEIGHT * WIDTH * 3)
         return loss, out["rays_traced"]
 
     @jax.jit
-    def fwd_bwd(params, y0, iteration):
-        # one band per call (compiled once, reused per band): full-frame
-        # loss and grads are the sums over bands
+    def fwd_bwd(params, x0, y0, iteration):
+        # one tile per call (compiled once, reused per tile): full-frame
+        # loss and grads are the sums over tiles
         (loss, rays), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, y0, iteration
+            params, x0, y0, iteration
         )
         return loss, rays, grads
 
     # warmup / compile
-    loss, rays, grads = fwd_bwd(params0, jnp.int32(0), jnp.uint32(1))
+    loss, rays, grads = fwd_bwd(
+        params0, jnp.int32(0), jnp.int32(0), jnp.uint32(1)
+    )
     jax.block_until_ready((loss, rays, grads))
 
     t0 = time.perf_counter()
     total_rays = 0
     for i in range(iters):
-        for b in range(bands):
-            loss, rays, grads = fwd_bwd(
-                params0, jnp.int32(b * band_h), jnp.uint32(2 + i)
-            )
-            total_rays += int(rays)
+        for ty in range(ny):
+            for tx in range(nx):
+                loss, rays, grads = fwd_bwd(
+                    params0, jnp.int32(tx * tile_w), jnp.int32(ty * tile_h),
+                    jnp.uint32(2 + i)
+                )
+                total_rays += int(rays)
     jax.block_until_ready((loss, rays, grads))
     dt = time.perf_counter() - t0
     return total_rays / dt / 1e6
@@ -123,7 +130,9 @@ def main():
     print(f"big scene: {inst_tris} instanced tris "
           f"({scene.num_tris} unique), {scene.num_lights} lights, "
           f"mode={scene.mode}", file=sys.stderr)
-    mrays_big = bench_scene(scene, cam, settings, iters=3, bands=12)
+    # grid swept on hardware (scripts/exp_tiles.py): 480x180 tiles beat
+    # 1920x90 bands 0.424 vs 0.402 Mray/s (squarer tiles share subtrees)
+    mrays_big = bench_scene(scene, cam, settings, iters=3, grid=(4, 6))
     print(json.dumps({
         "metric": "Mrays/s/chip fwd+bwd 1080p 1spp 330k-tri scene",
         "value": round(mrays_big, 3),
