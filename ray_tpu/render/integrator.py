@@ -109,6 +109,11 @@ class PassSettings:
     # (plus a jitter along the ray-cone footprint's major axis — the
     # anisotropic capability of CoreRef.h:465-474, expressed stochastically)
     tex_filter: str = "stochastic"
+    # NaN-trap render mode: count non-finite live-lane state per bounce and
+    # report it as out["nonfinite"] (the analogue of the reference's
+    # FP-exception-unmasked test runs, tests/main.cpp:199-206 — a hard trap
+    # is impossible here because the wavefront uses NaN padding by design)
+    nan_check: bool = False
 
 
 def _sh_l1_basis(w):
@@ -751,6 +756,25 @@ def render_tile(
         if settings.use_nee and have_lights:
             n_traced = n_traced + jnp.sum((nee_valid & ls.cast_shadow).astype(jnp.int32))
         ys = {"n_traced": n_traced}
+        if settings.nan_check:
+            # NaN-trap render mode (the reference unmasks FP exceptions in
+            # its tests, tests/main.cpp:199-206; the wavefront uses NaN
+            # padding by design, so trap at the *state* level instead:
+            # every live-lane quantity the next bounce consumes must be
+            # finite).  Cheap enough to leave on in CI renders.
+            bad = jnp.int32(0)
+            live = next_active
+            for arr in (ro, rd, throughput, bsdf_pdf,
+                        cone_width, cone_spread):
+                nf = ~jnp.isfinite(arr)
+                if nf.ndim == 2:
+                    nf = jnp.any(nf, axis=-1)
+                bad = bad + jnp.sum((nf & live).astype(jnp.int32))
+            for arr in (accum, aux_base, aux_dn):
+                bad = bad + jnp.sum(
+                    jnp.any(~jnp.isfinite(arr), axis=-1).astype(jnp.int32)
+                )
+            ys["nonfinite"] = bad
         if cache_mode == "update":
             ys.update(
                 delta=jax.lax.stop_gradient(accum - accum_in),
@@ -810,11 +834,14 @@ def render_tile(
         and not settings.output_sh
         and R >= 1024
     )
+    nonfinite_total = None
     if not do_compact:
         state, ys = jax.lax.scan(
             body, state0, jnp.arange(n_iters, dtype=jnp.int32)
         )
         n_traced_total = jnp.sum(ys["n_traced"])
+        if settings.nan_check:
+            nonfinite_total = jnp.sum(ys["nonfinite"])
     else:
         K = max(R // settings.compact_factor, 512)
         state, ys1 = jax.lax.scan(
@@ -822,9 +849,14 @@ def render_tile(
         )
         xs_tail = jnp.arange(c, n_iters, dtype=jnp.int32)
 
+        def _sums(ys2):
+            return (jnp.sum(ys2["n_traced"]),
+                    jnp.sum(ys2["nonfinite"]) if settings.nan_check
+                    else jnp.int32(0))
+
         def full_tail(st):
             st, ys2 = jax.lax.scan(body, st, xs_tail)
-            return st, jnp.sum(ys2["n_traced"])
+            return st, _sums(ys2)
 
         def compact_tail(st):
             act = st[5]
@@ -838,11 +870,15 @@ def render_tile(
                 lambda full, h: full.at[idx].set(h, unique_indices=True),
                 st, head,
             )
-            return st, jnp.sum(ys2["n_traced"])
+            return st, _sums(ys2)
 
         n_act = jnp.sum(state[5].astype(jnp.int32))
-        state, n2 = jax.lax.cond(n_act <= K, compact_tail, full_tail, state)
+        state, (n2, nf2) = jax.lax.cond(
+            n_act <= K, compact_tail, full_tail, state
+        )
         n_traced_total = jnp.sum(ys1["n_traced"]) + n2
+        if settings.nan_check:
+            nonfinite_total = jnp.sum(ys1["nonfinite"]) + nf2
 
     accum, aux_base, aux_dn = state[8], state[9], state[10]
     out = {
@@ -851,6 +887,8 @@ def render_tile(
         "depth_normal": aux_dn,
         "rays_traced": n_traced_total,
     }
+    if nonfinite_total is not None:
+        out["nonfinite"] = nonfinite_total
     if settings.output_sh:
         # shl1_data_t analogue (Types.h:51): 4 SH-L1 coefficients × RGB
         out["shl1"] = state[-1]
