@@ -46,3 +46,26 @@ def test_nan_check_clean_on_specular_glass_scene():
     out = _render_nanchecked(sc.finalize(), cam)
     assert int(out["nonfinite"]) == 0
     assert np.isfinite(np.asarray(out["color"])).all()
+
+
+def test_nan_check_with_occupancy_compaction():
+    # the compact-tail branch returns (n_traced, nonfinite) sums through a
+    # lax.cond — cover both flag states at R >= 1024 (32x32 tile)
+    sc, cam = cornell_scene()
+    flat = sc.finalize()
+    table = jnp.asarray(build_filter_table(cam.filter, cam.filter_width))
+    imgs = []
+    for nan_check in (False, True):
+        settings = PassSettings(
+            max_total_depth=6, min_total_depth=2,
+            compact_after=2, compact_factor=4, nan_check=nan_check,
+        )
+        out = render_tile(
+            flat, cam, table, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            jnp.uint32(3), width=32, height=32, tile_w=32, tile_h=32,
+            settings=settings, use_filter_table=True,
+        )
+        if nan_check:
+            assert int(out["nonfinite"]) == 0
+        imgs.append(np.asarray(out["color"]))
+    np.testing.assert_allclose(imgs[0], imgs[1], rtol=0, atol=0)
