@@ -100,6 +100,26 @@ def build_bvh2(
     assert 1 <= max_leaf <= LEAF_COUNT_MASK
 
     if spatial_splits:
+        if use_native != "never" and (
+            use_native == "always" or n >= NATIVE_BUILDER_THRESHOLD
+        ):
+            from ray_tpu.scene import native
+
+            tv = None if tri_verts is None else np.asarray(
+                tri_verts, np.float32
+            )
+            out = native.build_sbvh_native(
+                tri_lo, tri_hi, tv, max_leaf, fat_leaves=fat_leaves
+            )
+            if out is not None:
+                c_lo, c_hi, child, counts, prim, root_lo, root_hi = out
+                return BVH2(
+                    child_lo=c_lo, child_hi=c_hi, child=child, counts=counts,
+                    prim_indices=prim, root_lo=root_lo, root_hi=root_hi,
+                    max_leaf=max_leaf,
+                )
+            if use_native == "always":
+                raise RuntimeError("native SBVH builder unavailable")
         return _build_sbvh(tri_lo, tri_hi, max_leaf, tri_verts=tri_verts,
                            fat_leaves=fat_leaves)
 

@@ -61,6 +61,26 @@ def _load():
                 ctypes.c_int,                    # capacity
                 ctypes.c_int,                    # fat_leaves
             ]
+            fs = lib.ray_tpu_build_sbvh
+            fs.restype = ctypes.c_int
+            fs.argtypes = [
+                ctypes.POINTER(ctypes.c_float),  # tri_lo
+                ctypes.POINTER(ctypes.c_float),  # tri_hi
+                ctypes.POINTER(ctypes.c_float),  # tri_verts (nullable)
+                ctypes.c_int,                    # n
+                ctypes.c_int,                    # max_leaf
+                ctypes.c_int,                    # fat_leaves
+                ctypes.POINTER(ctypes.c_float),  # child_lo
+                ctypes.POINTER(ctypes.c_float),  # child_hi
+                ctypes.POINTER(ctypes.c_int32),  # child
+                ctypes.POINTER(ctypes.c_int32),  # counts
+                ctypes.POINTER(ctypes.c_int32),  # prim_indices
+                ctypes.POINTER(ctypes.c_float),  # root_lo
+                ctypes.POINTER(ctypes.c_float),  # root_hi
+                ctypes.c_int,                    # node_capacity
+                ctypes.c_int,                    # ref_capacity
+                ctypes.POINTER(ctypes.c_int32),  # out_n_refs
+            ]
             _LIB = lib
         except Exception:
             _LIB = None
@@ -108,4 +128,56 @@ def build_bvh2_native(tri_lo: np.ndarray, tri_hi: np.ndarray, max_leaf: int,
         child_lo[:n_slots].copy(), child_hi[:n_slots].copy(),
         child[:n_slots].copy(), counts[:n_slots].copy(),
         prim, root_lo, root_hi,
+    )
+
+
+def build_sbvh_native(tri_lo: np.ndarray, tri_hi: np.ndarray,
+                      tri_verts: np.ndarray | None, max_leaf: int,
+                      fat_leaves: bool = True,
+                      max_refs_factor: float = 1.75):
+    """C++ SBVH with spatial reference splits (same split logic as numpy
+    ``_build_sbvh``); returns the numpy-builder tuple layout (with
+    duplicated prim_indices) or None on failure."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = tri_lo.shape[0]
+    ref_cap = int(n * max_refs_factor) + 64
+    cap = max(ref_cap, 2)
+    tri_lo = np.ascontiguousarray(tri_lo, np.float32)
+    tri_hi = np.ascontiguousarray(tri_hi, np.float32)
+    child_lo = np.zeros((cap, 2, 3), np.float32)
+    child_hi = np.zeros((cap, 2, 3), np.float32)
+    child = np.zeros((cap, 2), np.int32)
+    counts = np.zeros((cap, 2), np.int32)
+    prim = np.zeros((ref_cap,), np.int32)
+    root_lo = np.zeros(3, np.float32)
+    root_hi = np.zeros(3, np.float32)
+    n_refs = np.zeros(1, np.int32)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    if tri_verts is not None:
+        tri_verts = np.ascontiguousarray(
+            tri_verts.reshape(n, 9), np.float32
+        )
+        vp = ptr(tri_verts, ctypes.c_float)
+    else:
+        vp = ctypes.POINTER(ctypes.c_float)()
+    n_slots = lib.ray_tpu_build_sbvh(
+        ptr(tri_lo, ctypes.c_float), ptr(tri_hi, ctypes.c_float), vp,
+        n, max_leaf, int(bool(fat_leaves)),
+        ptr(child_lo, ctypes.c_float), ptr(child_hi, ctypes.c_float),
+        ptr(child, ctypes.c_int32), ptr(counts, ctypes.c_int32),
+        ptr(prim, ctypes.c_int32),
+        ptr(root_lo, ctypes.c_float), ptr(root_hi, ctypes.c_float),
+        cap, ref_cap, ptr(n_refs, ctypes.c_int32),
+    )
+    if n_slots < 0:
+        return None
+    return (
+        child_lo[:n_slots].copy(), child_hi[:n_slots].copy(),
+        child[:n_slots].copy(), counts[:n_slots].copy(),
+        prim[:int(n_refs[0])].copy(), root_lo, root_hi,
     )

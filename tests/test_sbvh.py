@@ -145,3 +145,37 @@ def test_sbvh_render_matches_object_split():
     )
     img_b = np.asarray(r2.render(flat_b, cam2, 4))
     np.testing.assert_allclose(img_a, img_b, rtol=1e-4, atol=1e-4)
+
+
+def test_sbvh_native_matches_brute():
+    from ray_tpu.scene import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    n = 2000
+    v, t = diagonal_tri_soup(n, seed=23)
+    lo, hi = tri_bounds(v, t)
+    b = build_bvh2(lo, hi, max_leaf=4, spatial_splits=True, tri_verts=v[t],
+                   use_native="always")
+    _check_sbvh_invariants(b, n)
+    assert b.prim_indices.shape[0] > n  # spatial splits actually fired
+
+    R = 512
+    ro, rd = _random_rays(R, seed=29)
+    t_min = jnp.zeros(R)
+    t_max = jnp.full((R,), 1e9)
+    active = jnp.ones(R, bool)
+    vj, tj = jnp.asarray(v), jnp.asarray(t)
+    hit = trace_closest(
+        jnp.asarray(b.child_lo), jnp.asarray(b.child_hi),
+        jnp.asarray(b.child), jnp.asarray(b.prim_indices),
+        vj, tj, ro, rd, t_min, t_max, active,
+        max_leaf=b.max_leaf, stack_size=bvh_depth(b) + 4,
+    )
+    ref = trace_closest_brute(vj, tj, ro, rd, t_min, t_max, active)
+    np.testing.assert_array_equal(np.asarray(hit.prim), np.asarray(ref.prim))
+    np.testing.assert_allclose(
+        np.asarray(hit.t), np.asarray(ref.t), rtol=1e-5, atol=1e-5
+    )
