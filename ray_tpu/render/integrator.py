@@ -344,6 +344,149 @@ def render_tile(
         rc = jnp.where(act[:, None], 0.0, rc)
         return jnp.where(active[:, None], rc, 1.0)
 
+    def _transp_classify(hit, rd, live, transp_d, total_d, seed):
+        """Resolve a hit's material the way the reference's *trace stage*
+        does (CoreRef.cpp:3076-3126: Mix chains WITHOUT the Fresnel factor)
+        and decide continuation: returns (is_transparent_hit, term_rand,
+        transparent base_color)."""
+        Rl = rd.shape[0]
+        miss = hit.prim < 0
+        row = surface_mod.fetch_tri_row(
+            scene, hit.prim,
+            keys=("solid_f", "solid_b", "uv0", "uv1", "uv2",
+                  "mat_f", "mat_b"),
+        )
+        side_solid = jnp.where(
+            hit.backface, row["solid_b"] > 0.5, row["solid_f"] > 0.5
+        )
+        w = (1.0 - hit.u - hit.v)[:, None]
+        uv = (w * row["uv0"] + hit.u[:, None] * row["uv1"]
+              + hit.v[:, None] * row["uv2"])
+        mat_id = surface_mod.pick_hit_material(
+            scene, hit.prim, hit.backface, row=row
+        )
+        rand_dim = jnp.uint32(rng.RAND_DIM_BASE_COUNT) + (
+            (total_d + transp_d).astype(jnp.uint32)
+            * jnp.uint32(rng.RAND_DIM_BOUNCE_COUNT)
+        )
+        trans_r, term_r = rng.scrambled_2d_rand(
+            rand_dim + jnp.uint32(rng.RAND_DIM_BSDF_PICK), seed, sample_i
+        )
+        tex_rx, tex_ry = rng.scrambled_2d_rand(
+            rand_dim + jnp.uint32(rng.RAND_DIM_TEX), seed, sample_i
+        )
+        ones = jnp.ones((Rl,), jnp.float32)
+        mat_id, _, _ = surface_mod.resolve_mix(
+            scene, mat_id, uv, trans_r, rd, rd, ones, hit.backface,
+            jnp.stack([tex_rx, tex_ry], axis=-1), use_fresnel=False,
+        )
+        from ray_tpu.ops.gather import read_packed
+        from ray_tpu.scene.materials import ShadingNode
+
+        mtype, bcol = read_packed(
+            [scene.materials["type"], scene.materials["base_color"]],
+            jnp.maximum(mat_id, 0),
+        )
+        is_transp = (
+            live & (~miss) & (~side_solid) & (mat_id >= 0)
+            & (mtype == ShadingNode.TRANSPARENT)
+        )
+        return is_transp, term_r, bcol
+
+    def _trace_closest_through(ro, rd, t_max, active, mask, throughput,
+                               transp_d, total_d, seed):
+        """Closest-hit trace that marches THROUGH Transparent surfaces
+        inside the trace stage — the reference's IntersectScene loop
+        (CoreRef.cpp:3041-3158).  A transparent continuation consumes
+        transparency depth + RNG dims but NOT a bounce iteration, so real
+        scatter-depth semantics match the reference at identical caps
+        (previously each transparent hit burned one of the
+        max_total_depth+1 scan iterations, losing real tail bounces on
+        alpha/transparent scenes).
+
+        The march runs detached (lax.while_loop is not reverse-
+        differentiable); the transparency color factor is folded into
+        ``throughput`` via stop_gradient, so gradients w.r.t. Transparent
+        node colors flow only through the NEE shadow-transmittance path.
+
+        Returns (hit with t = total distance from ``ro``, inst,
+        updated throughput, updated transparency depth).
+        """
+        zeros = jnp.zeros_like(t_max)
+        hit, inst = _trace_closest(ro, rd, zeros, t_max, active, mask)
+        if not scene.has_transparency:
+            return hit, inst, throughput, transp_d
+        sg = jax.lax.stop_gradient
+        rd_d = sg(rd)
+        thr_lum0 = jnp.max(sg(throughput), axis=-1)
+
+        def classify_step(hit, live, transp_d, thr_lum):
+            is_transp, term_r, bcol = _transp_classify(
+                hit, rd_d, live, transp_d, total_d, seed
+            )
+            # RR + budget (CoreRef.cpp:3131-3141): q kicks in past
+            # min_transp_depth; budget kills at max_transp_depth-1 marches
+            can_term = transp_d > settings.min_transp_depth
+            q = jnp.where(
+                settings.use_path_termination & can_term,
+                jnp.maximum(0.05, 1.0 - thr_lum), 0.0,
+            )
+            exhausted = (transp_d + 1) >= settings.max_transp_depth
+            kill = is_transp & (
+                (term_r < q) | (thr_lum <= 0.0) | exhausted
+            )
+            cont = is_transp & (~kill)
+            step_mult = sg(bcol) * safe_div_pos(1.0, 1.0 - q)[:, None]
+            return cont, kill, step_mult
+
+        cont0, kill0, mult0 = classify_step(hit, active, transp_d, thr_lum0)
+
+        def cond(s):
+            return jnp.any(s[0])
+
+        def body(s):
+            (cont, kill, step_mult, hit_c, inst_c, ro_c, t_base, t_mult,
+             transp_c, lum_c) = s
+            adv = sg(hit_c.t) + HIT_BIAS
+            ro_c = jnp.where(cont[:, None], ro_c + rd_d * adv[:, None], ro_c)
+            t_base = jnp.where(cont, t_base + adv, t_base)
+            t_mult = jnp.where(cont[:, None], t_mult * step_mult, t_mult)
+            lum_c = jnp.where(
+                cont, lum_c * jnp.max(step_mult, axis=-1), lum_c
+            )
+            transp_c = transp_c + cont.astype(jnp.int32)
+            new_hit, new_inst = _trace_closest(
+                ro_c, rd_d, jnp.zeros_like(t_base),
+                jnp.maximum(t_max - t_base, 0.0), cont, mask,
+            )
+            hit_c = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(
+                    cont.reshape(cont.shape + (1,) * (old.ndim - 1)),
+                    new, old),
+                hit_c, new_hit,
+            )
+            if new_inst is not None:
+                inst_c = jnp.where(cont, new_inst, inst_c)
+            ncont, nkill, nmult = classify_step(hit_c, cont, transp_c, lum_c)
+            kill = kill | nkill
+            return (ncont, kill, nmult, hit_c, inst_c, ro_c, t_base, t_mult,
+                    transp_c, lum_c)
+
+        inst0 = inst if inst is not None else jnp.zeros(
+            ro.shape[:1], jnp.int32)
+        state = (cont0, kill0, mult0, sg(hit), inst0, sg(ro),
+                 jnp.zeros_like(t_max), jnp.ones((ro.shape[0], 3),
+                                                 jnp.float32),
+                 transp_d, thr_lum0)
+        (_c, killed, _m, hit, inst_out, _roc, t_base, t_mult, transp_d,
+         _lum) = jax.lax.while_loop(cond, body, state)
+        hit = hit._replace(t=hit.t + t_base)
+        throughput = throughput * jnp.where(
+            killed[:, None], 0.0, t_mult
+        )
+        return (hit, inst_out if inst is not None else None, throughput,
+                transp_d)
+
     def bounce_step(state, bounce):
         (ro, rd, t_max, throughput, bsdf_pdf, active, depth, ior_stack,
          accum, aux_base, aux_dn, ray_mask, cone_width, cone_spread,
@@ -375,11 +518,16 @@ def render_tile(
                 aux_sh = aux_sh + _sh_l1_basis(w)[:, :, None] * c[:, None, :]
             return acc + c
 
-        hit, hit_inst = _trace_closest(
-            ro, rd, jnp.zeros((Rl,), jnp.float32), t_max, active, ray_mask
-        )
-        miss = hit.prim < 0
         total_depth = depth[:, 0] + depth[:, 1] + depth[:, 2]
+        # closest-hit trace, marching through Transparent surfaces inside
+        # the trace stage (CoreRef.cpp:3041-3158) — updates throughput and
+        # the transparency depth counter without consuming this bounce
+        hit, hit_inst, throughput, transp_d = _trace_closest_through(
+            ro, rd, t_max, active, ray_mask, throughput, depth[:, 3],
+            total_depth, seed,
+        )
+        depth = depth.at[:, 3].set(transp_d)
+        miss = hit.prim < 0
         indirect = total_depth > 0
 
         # SkipDirect/SkipIndirect gates: a light reached with ≤1 surface
@@ -415,10 +563,14 @@ def render_tile(
             light_first = active & (al_i >= 0) & (al_t < seg_end)
             lcol = scene.lights["col"][jnp.maximum(al_i, 0)] * al_spot[:, None]
             if settings.use_nee:
+                # MIS unconditionally at ANY depth (Evaluate_LightColor,
+                # ShadeRef.cpp:1080-1170, has no depth-cap condition): the
+                # parent vertex's NEE already took its MIS share even when
+                # this ray sits at total_depth == max_total_depth — a
+                # weight of 1 here double-counted lights hit by the
+                # deepest rays (measured +33/255 at max_total_depth=1)
                 lw = jnp.where(
-                    indirect & (total_depth < settings.max_total_depth),
-                    power_heuristic(bsdf_pdf, al_pdf),
-                    1.0,
+                    indirect, power_heuristic(bsdf_pdf, al_pdf), 1.0
                 )
                 lcol = lcol * lw[:, None]
             l_contrib = _clamp_contribution(throughput * lcol, limit0)
@@ -646,29 +798,23 @@ def render_tile(
         is_diff = bs.ray_type == uber.RAY_TYPE_DIFFUSE
         is_spec = bs.ray_type == uber.RAY_TYPE_SPECULAR
         is_refr = bs.ray_type == uber.RAY_TYPE_REFR
-        is_transp = bs.ray_type == 5
         depth_ok = (
             (is_diff & (depth[:, 0] < settings.max_diff_depth))
             | (is_spec & (depth[:, 1] < settings.max_spec_depth))
             | (is_refr & (depth[:, 2] < settings.max_refr_depth))
-            | (is_transp & (depth[:, 3] < settings.max_transp_depth))
-        ) & jnp.where(is_transp, True, total_depth < settings.max_total_depth)
+        ) & (total_depth < settings.max_total_depth)
         if settings.skip_indirect:
             # nothing beyond the first bounce can contribute — stop early
-            depth_ok = depth_ok & (is_transp | (total_depth < 1))
+            depth_ok = depth_ok & (total_depth < 1)
 
         new_throughput = throughput * bs.weight * mix_weight[:, None]
         tlum = jnp.max(new_throughput, axis=-1)
 
-        # Russian roulette (ShadeRef.cpp:1604-1618).  Transparent
-        # continuations gate on transparency depth alone with its own
-        # earlier threshold (the reference RRs them inside the trace loop,
-        # CoreRef.cpp:3131-3140); real scatters gate on total depth.
-        can_rr = jnp.where(
-            alive & params.is_transparent,
-            depth[:, 3] > settings.min_transp_depth,
-            (total_depth + depth[:, 3]) > settings.min_total_depth,
-        )
+        # Russian roulette (ShadeRef.cpp:1604-1618): real scatters gate on
+        # total depth (diff+spec+refr, transparency excluded — the
+        # reference RRs transparency separately inside the trace loop,
+        # CoreRef.cpp:3131-3140, as does _trace_closest_through)
+        can_rr = total_depth > settings.min_total_depth
         rr_q = jnp.where(
             settings.use_path_termination & can_rr,
             jnp.maximum(0.05, 1.0 - tlum),
@@ -677,10 +823,13 @@ def render_tile(
         rr_pass = term_r >= rr_q
         new_throughput = new_throughput * safe_div_pos(1.0, 1.0 - rr_q)[:, None]
 
-        # transparent hits don't shade but do continue the path
-        can_continue = can_shade | (alive & params.is_transparent)
+        # Transparent-resolved lanes never continue from the shade stage
+        # (the trace loop marched through transparency already; a lane
+        # landing here on a Transparent material is either RR/budget-killed
+        # or a Fresnel-divergent Mix resolve — the reference kills both,
+        # ShadeRef.cpp:1611-1618 via new_ray.pdf == 0)
         next_active = (
-            can_continue & depth_ok & rr_pass & (tlum > 0.0) & (bs.pdf > 0.0)
+            can_shade & depth_ok & rr_pass & (tlum > 0.0) & (bs.pdf > 0.0)
         )
 
         if feats.any_refr:
@@ -698,28 +847,20 @@ def render_tile(
         throughput = jnp.where(
             next_active[:, None], new_throughput, throughput
         )
-        # transparent continuations PRESERVE the parent's bsdf pdf: the
-        # last real vertex's NEE may have sampled a light through this
-        # glass (shadow transmittance), so the light hit beyond it must
-        # keep the partial MIS weight — overwriting with the delta pdf
-        # double-counted those lights (white-speckle fireflies).  The
-        # reference gets this for free by continuing transparency inside
-        # the trace stage (CoreRef.cpp:3104-3158).
+        # transparency no longer reaches the sampler (it is resolved inside
+        # the trace stage, preserving the last real vertex's pdf for MIS
+        # through glass automatically — CoreRef.cpp:3104-3158)
         bsdf_pdf = jnp.where(
-            next_active,
-            jnp.where(alive & params.is_transparent, bsdf_pdf,
-                      jnp.minimum(bs.pdf, 1e6)),
-            bsdf_pdf,
+            next_active, jnp.minimum(bs.pdf, 1e6), bsdf_pdf
         )
         t_max = jnp.full((Rl,), MAX_DIST, jnp.float32)
         depth_inc = jnp.stack(
-            [is_diff, is_spec, is_refr, is_transp], axis=-1
+            [is_diff, is_spec, is_refr, jnp.zeros_like(is_diff)], axis=-1
         ).astype(jnp.int32)
         depth = depth + jnp.where(next_active[:, None], depth_inc, 0)
 
         # ray type for the per-instance visibility test on the next segment
-        # (reference packs it in depth bits 28..31, CoreRef.h:253-280;
-        # transparent continuations keep the parent's type)
+        # (reference packs it in depth bits 28..31, CoreRef.h:253-280)
         new_mask = jnp.where(
             is_diff, RAY_DIFFUSE,
             jnp.where(is_spec, RAY_SPECULAR,

@@ -38,6 +38,11 @@ from ray_tpu.ops.linalg import (
 from ray_tpu.render.bsdf.microfacet import PI
 from ray_tpu.scene.lights import LightType
 
+# debug escape hatch: force uniform-area rect sampling (disable the
+# spherical-rectangle branch) for bias isolation experiments
+import os as _os
+_NO_SPHRECT = _os.environ.get("RAY_TPU_NO_SPHRECT", "") == "1"
+
 
 class LightSample(NamedTuple):
     """Analogue of ``light_sample_t`` (internal/CoreRef.h:123)."""
@@ -271,17 +276,46 @@ def _lnode_importance(lt, node, P, oh=None):
         omega_n = lt["omega_n"][node]
         omega_e = lt["omega_e"][node]
 
+    # The reference has TWO importance formulas: a scalar one
+    # (CoreRef.cpp:870-893, with an atan2 cone test and a +0.057 bias) and
+    # the 8-wide wbvh/cwbvh one its runtime actually descends
+    # (CoreRef.cpp:958-1002): distance^2 clamped to max(dist^2, extent),
+    # an exact clamped cos-subtraction chain cos((omega_w - omega_n) -
+    # omega_b), and a cos_omega > cos(omega_e) gate.  Matching the wbvh
+    # math matters: the pick probability feeds ls.pdf and hence the NEE
+    # MIS weight, and the weight difference is visible near lights at
+    # depth-capped path ends (measured -0.5/255 whole-image bias on the
+    # golden battery's Standard scene with the scalar formula).
     local = lo[..., 0] > -MAX_DIST
     v = P - 0.5 * (lo + hi)
     ext = hi - lo
     extent = 0.5 * jnp.sqrt(jnp.maximum(dot(ext, ext, False), 0.0))
-    v_len2 = jnp.maximum(dot(v, v, False), 1e-12)
-    v_len = jnp.sqrt(v_len2)
-    omega_u = jnp.arctan2(extent, v_len) + 5e-6
-    cos_o = jnp.minimum(dot(axis, v, False) / v_len, 1.0)
-    omega = jnp.arccos(jnp.clip(cos_o, -1.0, 1.0)) - 7e-5
-    omega_ = jnp.maximum(0.0, omega - omega_n - omega_u)
-    mul = jnp.where(omega_ < omega_e, jnp.cos(omega_) + 0.057, 0.0)
+    dist2 = jnp.maximum(dot(v, v, False), 1e-12)
+    dist = jnp.sqrt(dist2)
+    v_len2 = jnp.where(local, jnp.maximum(dist2, extent), 1.0)
+    cos_w = dot(axis, v, False) / dist
+    sin_w = jnp.sqrt(jnp.maximum(1.0 - cos_w * cos_w, 0.0))
+    inside = dist2 < extent * extent
+    cos_b = jnp.where(
+        inside, -1.0,
+        jnp.sqrt(jnp.maximum(1.0 - (extent * extent) / dist2, 0.0)),
+    )
+    sin_b = jnp.sqrt(jnp.maximum(1.0 - cos_b * cos_b, 0.0))
+    cos_n = jnp.cos(omega_n)
+    sin_n = jnp.sqrt(jnp.maximum(1.0 - cos_n * cos_n, 0.0))
+    cos_e = jnp.cos(omega_e)
+
+    def _cos_sub(sa, ca, sb, cb):
+        # cos(max(a - b, 0)) — CoreRef.cpp:900-905
+        return jnp.where(ca > cb, 1.0, ca * cb + sa * sb)
+
+    def _sin_sub(sa, ca, sb, cb):
+        return jnp.where(ca > cb, 0.0, sa * cb - ca * sb)
+
+    cos_x = _cos_sub(sin_w, cos_w, sin_n, cos_n)
+    sin_x = _sin_sub(sin_w, cos_w, sin_n, cos_n)
+    cos_omega = _cos_sub(sin_x, cos_x, sin_b, cos_b)
+    mul = jnp.where(cos_omega > cos_e, cos_omega, 0.0)
     return jnp.where(local, flux * mul / v_len2, flux)
 
 
@@ -543,6 +577,8 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
         sr_pdf, sr_p, sr_ok = sample_spherical_rectangle(
             P, lpos, rect_u, rect_v, r1, r2
         )
+        if _NO_SPHRECT:
+            sr_ok = sr_ok & False
         rp_area = lpos + rect_u * (r1 - 0.5)[:, None] + rect_v * (r2 - 0.5)[:, None]
         rp = jnp.where(sr_ok[:, None], sr_p, rp_area)
         rvec = rp - P
@@ -925,6 +961,8 @@ def intersect_area_lights(scene, ro, rd, t_max):
                     jnp.broadcast_to(u_ax, (R, 3)),
                     jnp.broadcast_to(v_ax, (R, 3)), zero, zero,
                 )
+                if _NO_SPHRECT:
+                    sr_ok = sr_ok & False
                 pdf = jnp.where(sr_ok, sr_pdf, pdf)
             spot = jnp.ones((R,), jnp.float32)
         elif ltype == LightType.LINE:

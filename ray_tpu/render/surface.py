@@ -295,11 +295,15 @@ def pick_hit_material(scene, prim, backface, row=None):
 
 
 def resolve_mix(scene, mat_id, uv, mix_rand, I, N, ext_ior, backfacing, tex_rand,
-                lam=None, fetch_kw=None):
+                lam=None, fetch_kw=None, use_fresnel=True):
     """Stochastically resolve Mix-node chains (ShadeRef.cpp:1303-1335).
 
     Returns (leaf_mat_id, rescaled mix_rand, mix_weight).  Unrolled to
     ``MAX_MIX_DEPTH``; non-Mix lanes pass through unchanged.
+
+    ``use_fresnel=False`` reproduces the *trace-stage* resolve
+    (CoreRef.cpp:3103-3126), which — unlike the shade stage — does not
+    modulate ``mix_val`` by the dielectric Fresnel term.
     """
     if not scene.has_mix:  # static: no Mix nodes in this scene
         return mat_id, mix_rand, jnp.ones_like(mix_rand)
@@ -320,17 +324,18 @@ def resolve_mix(scene, mat_id, uv, mix_rand, I, N, ext_ior, backfacing, tex_rand
             tex = sample_bilinear(scene.textures, base_tex, uv, lod,
                                   **(fetch_kw or {}))
             mix_val = mix_val * jnp.where(base_tex >= 0, tex[:, 0], 1.0)
-        eta = jnp.where(
-            backfacing,
-            safe_div_pos(ext_ior, ior),
-            safe_div_pos(ior, ext_ior),
-        )
-        rr = jnp.where(
-            ior != 0.0,
-            fresnel_dielectric_cos(dot(I, N, False), eta),
-            1.0,
-        )
-        mix_val = mix_val * jnp.clip(rr, 0.0, 1.0)
+        if use_fresnel:
+            eta = jnp.where(
+                backfacing,
+                safe_div_pos(ext_ior, ior),
+                safe_div_pos(ior, ext_ior),
+            )
+            rr = jnp.where(
+                ior != 0.0,
+                fresnel_dielectric_cos(dot(I, N, False), eta),
+                1.0,
+            )
+            mix_val = mix_val * jnp.clip(rr, 0.0, 1.0)
 
         mix_add = (flags_ & MAT_FLAG_MIX_ADD) != 0
         take2 = mix_rand <= mix_val

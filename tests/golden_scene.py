@@ -416,16 +416,20 @@ def build_scene(entry: dict):
                 direction=(0.699538708, -0.130918920, -0.702499688),
                 spot_size=45.0, spot_blend=0.15 * 0.15))
         else:
-            x = _RECT_LIGHT_XFORM
-            sc.add_light(LightDesc(
-                type=LightType.RECT, color=(20.3718,) * 3,
-                position=_col(x, 3), axis_u=_col(x, 0), axis_v=_col(x, 2),
-                width=0.162, height=0.162))
-            x = _DISK_LIGHT_XFORM
-            sc.add_light(LightDesc(
-                type=LightType.DISK, color=(81.4873,) * 3,
-                position=_col(x, 3), axis_u=_col(x, 0), axis_v=_col(x, 2),
-                width=0.1296, height=0.1296))
+            import os as _os
+            _only = _os.environ.get("RAY_TPU_ONLY_LIGHT", "")
+            if _only != "disk":
+                x = _RECT_LIGHT_XFORM
+                sc.add_light(LightDesc(
+                    type=LightType.RECT, color=(20.3718,) * 3,
+                    position=_col(x, 3), axis_u=_col(x, 0), axis_v=_col(x, 2),
+                    width=0.162, height=0.162))
+            if _only != "rect":
+                x = _DISK_LIGHT_XFORM
+                sc.add_light(LightDesc(
+                    type=LightType.DISK, color=(81.4873,) * 3,
+                    position=_col(x, 3), axis_u=_col(x, 0), axis_v=_col(x, 2),
+                    width=0.1296, height=0.1296))
     elif scene_name == "Standard_DirLight":
         # reference divides dir-light color by the disk solid angle
         # (pi*tan^2) inside AddLight (SceneCPU.cpp:603-610)

@@ -323,6 +323,13 @@ static void setup_scene(ThreadPool &threads, Ray::SceneBase &scene,
             cd.exposure = -14.0f;
         }
         cd.min_total_depth = 4;
+        // depth-cap overrides for transport-parity instrumentation
+        // (per-cap delta series vs ray_tpu, see docs/ROADMAP.md #4)
+        if (const char *e = getenv("GG_MAX_DIFF_DEPTH")) cd.max_diff_depth = atoi(e);
+        if (const char *e = getenv("GG_MAX_SPEC_DEPTH")) cd.max_spec_depth = atoi(e);
+        if (const char *e = getenv("GG_MAX_REFR_DEPTH")) cd.max_refr_depth = atoi(e);
+        if (const char *e = getenv("GG_MAX_TOTAL_DEPTH")) cd.max_total_depth = atoi(e);
+        if (const char *e = getenv("GG_MIN_TOTAL_DEPTH")) cd.min_total_depth = atoi(e);
         cd.min_samples = t.golden_spp; // adaptive sampling off for goldens
         cd.variance_threshold = 0.0f;
         const CameraHandle cam = scene.AddCamera(cd);
@@ -592,7 +599,9 @@ static void setup_scene(ThreadPool &threads, Ray::SceneBase &scene,
             sl.spot_blend = 0.15f;
             scene.AddLight(sl);
         } else {
-            { // rect light
+            // instrumentation: GG_ONLY_LIGHT=rect|disk drops the other one
+            const char *only_light = getenv("GG_ONLY_LIGHT");
+            if (!only_light || strcmp(only_light, "disk") != 0) { // rect light
                 static const float xform[16] = {
                     -0.425036609f, 2.24262476e-06f, -0.905176163f, 0.0f,
                     -0.876228273f, 0.250873595f, 0.411444396f, 0.0f,
@@ -604,7 +613,7 @@ static void setup_scene(ThreadPool &threads, Ray::SceneBase &scene,
                 rl.height = 0.162f;
                 scene.AddLight(rl, xform);
             }
-            { // disk light
+            if (!only_light || strcmp(only_light, "rect") != 0) { // disk light
                 static const float xform[16] = {
                     0.813511789f, -0.536388099f, -0.224691749f, 0.0f,
                     0.538244009f, 0.548162937f, 0.640164733f, 0.0f,
@@ -762,7 +771,11 @@ int main(int argc, char *argv[]) {
         }
         const std::string dir = out_dir + "/" + t.name;
         (void)system(("mkdir -p '" + dir + "'").c_str());
-        const char *fname = refspp_mode ? "/refspp.tga" : "/ref.tga";
+        std::string fname = refspp_mode ? "/refspp" : "/ref";
+        if (const char *sfx = getenv("GG_OUT_SUFFIX")) {
+            fname += sfx; // e.g. "_cap4" for instrumentation series
+        }
+        fname += ".tga";
         Ray::WriteTGA(u8.data(), W, H, 3, (dir + fname).c_str());
         printf("\r%-28s done (%d spp, %s)\n", t.name, spp, arch.c_str());
     }
