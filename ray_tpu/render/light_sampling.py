@@ -234,10 +234,12 @@ def _map_to_cone(r1, r2, axis, radius):
     zero = (ox == 0.0) & (oy == 0.0)
     use_x = jnp.abs(ox) > jnp.abs(oy)
     r = jnp.where(use_x, ox, oy)
+    # SIGNED ratio divisions (ox/oy span [-1,1]) — see the disk-light note
     theta = jnp.where(
         use_x,
-        0.25 * PI * safe_div_pos(oy, jnp.where(use_x, ox, 1.0)),
-        0.5 * PI - 0.25 * PI * safe_div_pos(ox, jnp.where(use_x, 1.0, oy)),
+        0.25 * PI * _safe_div_signed(oy, jnp.where(use_x, ox, 1.0)),
+        0.5 * PI
+        - 0.25 * PI * _safe_div_signed(ox, jnp.where(use_x, 1.0, oy)),
     )
     st, ct = _sincos(theta)
     du = jnp.where(zero, 0.0, r * ct)
@@ -605,10 +607,16 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
         oy = 2.0 * r2 - 1.0
         use_x = jnp.abs(ox) > jnp.abs(oy)
         rr = jnp.where(use_x, ox, oy)
+        # concentric-map ratio divisions are SIGNED (ox/oy span [-1,1]):
+        # a positive-clamped division flattened theta to +-pi*huge for the
+        # negative half of the square, skewing the placement while the pdf
+        # stayed uniform — measured -0.9/255 whole-image bias from the
+        # Standard scene's disk light alone
         th = jnp.where(
             use_x,
-            0.25 * PI * safe_div_pos(oy, jnp.where(use_x, ox, 1.0)),
-            0.5 * PI - 0.25 * PI * safe_div_pos(ox, jnp.where(use_x, 1.0, oy)),
+            0.25 * PI * _safe_div_signed(oy, jnp.where(use_x, ox, 1.0)),
+            0.5 * PI
+            - 0.25 * PI * _safe_div_signed(ox, jnp.where(use_x, 1.0, oy)),
         )
         sth, cth = _sincos(th)
         zero_off = (ox == 0.0) & (oy == 0.0)
