@@ -42,6 +42,11 @@ def bench_scene(scene, cam, settings, iters=5, bands=1, grid=None):
     from ray_tpu.scene.camera import build_filter_table
 
     nx, ny = grid if grid is not None else (1, bands)
+    # non-divisible grids would silently drop the right/bottom remainder
+    # pixels, making Mray/s incomparable across grids (ADVICE r3)
+    assert WIDTH % nx == 0 and HEIGHT % ny == 0, (
+        f"grid {nx}x{ny} must divide {WIDTH}x{HEIGHT}"
+    )
     table = jnp.asarray(build_filter_table(cam.filter, cam.filter_width))
     mat_float = {
         k: v for k, v in scene.materials.items()
@@ -74,25 +79,27 @@ def bench_scene(scene, cam, settings, iters=5, bands=1, grid=None):
         )
         return loss, rays, grads
 
-    # warmup / compile
-    loss, rays, grads = fwd_bwd(
-        params0, jnp.int32(0), jnp.int32(0), jnp.uint32(1)
-    )
-    jax.block_until_ready((loss, rays, grads))
+    @jax.jit
+    def fwd_only(params, x0, y0, iteration):
+        return loss_fn(params, x0, y0, iteration)
 
-    t0 = time.perf_counter()
-    total_rays = 0
-    for i in range(iters):
-        for ty in range(ny):
-            for tx in range(nx):
-                loss, rays, grads = fwd_bwd(
-                    params0, jnp.int32(tx * tile_w), jnp.int32(ty * tile_h),
-                    jnp.uint32(2 + i)
-                )
-                total_rays += int(rays)
-    jax.block_until_ready((loss, rays, grads))
-    dt = time.perf_counter() - t0
-    return total_rays / dt / 1e6
+    def timed(fn, extra_out=False):
+        out = fn(params0, jnp.int32(0), jnp.int32(0), jnp.uint32(1))
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        total_rays = 0
+        for i in range(iters):
+            for ty in range(ny):
+                for tx in range(nx):
+                    out = fn(
+                        params0, jnp.int32(tx * tile_w),
+                        jnp.int32(ty * tile_h), jnp.uint32(2 + i)
+                    )
+                    total_rays += int(out[1])
+        jax.block_until_ready(out)
+        return total_rays / (time.perf_counter() - t0) / 1e6
+
+    return timed(fwd_bwd), timed(fwd_only)
 
 
 def run_hw_tests():
@@ -123,6 +130,20 @@ def main():
 
     settings = PassSettings(max_total_depth=5, min_total_depth=2, remat=True)
 
+    def config(scene, grid):
+        """Settings fingerprint in every JSON line so cross-round numbers
+        stay comparable (VERDICT r3: the r02->r03 delta silently mixed a
+        NEE-mode change into the metric)."""
+        return {
+            "depths": [settings.max_diff_depth, settings.max_spec_depth,
+                       settings.max_refr_depth, settings.max_total_depth,
+                       settings.min_total_depth],
+            "nee": "hierarchical" if scene.light_tree_depth > 0 else (
+                "cdf" if scene.num_lights > 0 else "none"),
+            "grid": list(grid),
+            "remat": settings.remat,
+        }
+
     sc, cam = colonnade_scene()
     inst_tris = sum(sc._meshes[mi].indices.shape[0] for mi, _, _ in
                     sc._instances)
@@ -132,22 +153,40 @@ def main():
           f"mode={scene.mode}", file=sys.stderr)
     # grid swept on hardware (scripts/exp_tiles.py): 480x180 tiles beat
     # 1920x90 bands 0.424 vs 0.402 Mray/s (squarer tiles share subtrees)
-    mrays_big = bench_scene(scene, cam, settings, iters=3, grid=(4, 6))
+    mrays_big, mrays_big_fwd = bench_scene(
+        scene, cam, settings, iters=3, grid=(4, 6)
+    )
+    print(json.dumps({
+        "metric": "Mrays/s/chip fwd 1080p 1spp 330k-tri scene",
+        "value": round(mrays_big_fwd, 3),
+        "unit": "Mray/s",
+        "vs_baseline": 1.0,
+        "config": config(scene, (4, 6)),
+    }))
     print(json.dumps({
         "metric": "Mrays/s/chip fwd+bwd 1080p 1spp 330k-tri scene",
         "value": round(mrays_big, 3),
         "unit": "Mray/s",
         "vs_baseline": 1.0,
+        "config": config(scene, (4, 6)),
     }))
 
     sc, cam = cornell_scene("emissive_quad")
     scene = sc.finalize()
-    mrays = bench_scene(scene, cam, settings, iters=5)
+    mrays, mrays_fwd = bench_scene(scene, cam, settings, iters=5)
+    print(json.dumps({
+        "metric": "Mrays/s/chip fwd 1080p 1spp",
+        "value": round(mrays_fwd, 3),
+        "unit": "Mray/s",
+        "vs_baseline": 1.0,
+        "config": config(scene, (1, 1)),
+    }))
     print(json.dumps({
         "metric": "Mrays/s/chip fwd+bwd 1080p 1spp",
         "value": round(mrays, 3),
         "unit": "Mray/s",
         "vs_baseline": 1.0,  # reference publishes no throughput numbers
+        "config": config(scene, (1, 1)),
     }))
 
 

@@ -108,9 +108,17 @@ def build_bvh2(
             tv = None if tri_verts is None else np.asarray(
                 tri_verts, np.float32
             )
-            out = native.build_sbvh_native(
-                tri_lo, tri_hi, tv, max_leaf, fat_leaves=fat_leaves
-            )
+            try:
+                out = native.build_sbvh_native(
+                    tri_lo, tri_hi, tv, max_leaf, fat_leaves=fat_leaves
+                )
+            except native.NativeCapacityError:
+                # capacity overflow is a real failure mode distinct from
+                # "library unavailable" (ADVICE r3): surface it on
+                # 'always', fall back to the numpy builder on 'auto'
+                if use_native == "always":
+                    raise
+                out = None
             if out is not None:
                 c_lo, c_hi, child, counts, prim, root_lo, root_hi = out
                 return BVH2(

@@ -91,6 +91,12 @@ def available() -> bool:
     return _load() is not None
 
 
+class NativeCapacityError(RuntimeError):
+    """The C++ builder ran but its output capacity was exceeded (the
+    builder returns -1); distinct from the library being unavailable so
+    ``use_native='always'`` callers can report the real cause."""
+
+
 def build_bvh2_native(tri_lo: np.ndarray, tri_hi: np.ndarray, max_leaf: int,
                       fat_leaves: bool = False):
     """Run the C++ builder; returns the same tuple layout the numpy builder
@@ -133,11 +139,13 @@ def build_bvh2_native(tri_lo: np.ndarray, tri_hi: np.ndarray, max_leaf: int,
 
 def build_sbvh_native(tri_lo: np.ndarray, tri_hi: np.ndarray,
                       tri_verts: np.ndarray | None, max_leaf: int,
-                      fat_leaves: bool = True,
+                      fat_leaves: bool = False,
                       max_refs_factor: float = 1.75):
-    """C++ SBVH with spatial reference splits (same split logic as numpy
-    ``_build_sbvh``); returns the numpy-builder tuple layout (with
-    duplicated prim_indices) or None on failure."""
+    """C++ SBVH with spatial reference splits (same split logic AND same
+    ``fat_leaves`` default as numpy ``_build_sbvh``); returns the
+    numpy-builder tuple layout (with duplicated prim_indices), None when
+    the shared library is unavailable, or raises
+    :class:`NativeCapacityError` when the ref/slot capacity overflows."""
     lib = _load()
     if lib is None:
         return None
@@ -175,7 +183,10 @@ def build_sbvh_native(tri_lo: np.ndarray, tri_hi: np.ndarray,
         cap, ref_cap, ptr(n_refs, ctypes.c_int32),
     )
     if n_slots < 0:
-        return None
+        raise NativeCapacityError(
+            f"native SBVH ref/slot capacity exceeded (n={n}, "
+            f"ref_cap={ref_cap}); raise max_refs_factor"
+        )
     return (
         child_lo[:n_slots].copy(), child_hi[:n_slots].copy(),
         child[:n_slots].copy(), counts[:n_slots].copy(),

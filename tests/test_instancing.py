@@ -84,9 +84,26 @@ def test_tlas_instanced_transforms():
 
     from ray_tpu.scene.camera import make_camera
     cam = make_camera(origin=(0, 0, -6), look_at=(0, 0, 0), fov=45.0)
-    img_i = _render(flat_i, cam)
-    img_f = _render(flat_f, cam)
-    assert np.max(np.abs(img_i - img_f)) < 2e-3, np.max(np.abs(img_i - img_f))
+    # geometry must match exactly: AUX depth/normals come from the fixed
+    # primary rays, independent of the sampled BSDF frames
+    r_i = Renderer(RenderSettings(RES, RES),
+                   PassSettings(max_total_depth=3, min_total_depth=3))
+    r_i.render(flat_i, cam, 1)
+    r_f = Renderer(RenderSettings(RES, RES),
+                   PassSettings(max_total_depth=3, min_total_depth=3))
+    r_f.render(flat_f, cam, 1)
+    dn_i = np.asarray(r_i.aux_dn)
+    dn_f = np.asarray(r_f.aux_dn)
+    assert np.max(np.abs(dn_i - dn_f)) < 1e-3, np.max(np.abs(dn_i - dn_f))
+    # radiance only matches in expectation: the radial tangent frame uses
+    # OBJECT-space position (ShadeRef.cpp:1355-1366), which differs between
+    # a shared centered mesh and pre-transformed copies, so the per-sample
+    # BSDF directions legitimately diverge — compare 4x4 block means
+    img_i = _render(flat_i, cam, spp=64)
+    img_f = _render(flat_f, cam, spp=64)
+    bi = img_i.reshape(RES // 4, 4, RES // 4, 4, 3).mean((1, 3))
+    bf = img_f.reshape(RES // 4, 4, RES // 4, 4, 3).mean((1, 3))
+    assert np.max(np.abs(bi - bf)) < 0.02, np.max(np.abs(bi - bf))
 
 
 def test_tlas_instanced_emissive_lights():
