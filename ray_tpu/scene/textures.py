@@ -17,12 +17,22 @@ fetches gather along the minor axis: a (R, 4) row gather pads its minor
 dim to 128 lanes (32× traffic); ``take(..., axis=1)`` produces unpadded
 (4, R) taps.
 
-``add(..., compress=True)`` stores BC1-style 4×4 blocks — per block two
-RGB endpoints + 16 × 2-bit indices along the endpoint diagonal (7 f32
-per 16 texels ≈ 9× smaller than raw RGBA f32) — the analogue of the
-reference's automatic BC compression (internal/TextureUtils.h:86,
-use_tex_compression).  Decode is three fused ALU ops per tap; compressed
-textures are not differentiable (gradients need the raw path).
+``add(..., compress=...)`` stores compressed 4×4 blocks — the analogue
+of the reference's automatic BC compression + RGBE conversion family
+(internal/TextureUtils.h:86-92, use_tex_compression):
+
+* ``"bc1"`` (or ``True``): two RGB endpoints + 16 × 2-bit diagonal
+  indices (8 f32 per 16 texels, 8× smaller than raw RGBA f32);
+* ``"bc4"``: single-channel, two scalar endpoints + 16 × 3-bit indices
+  (roughness/metallic maps);
+* ``"bc5"``: dual-channel (two BC4 payloads in one row — normal-map XY,
+  z reconstructed by apply_normal_map like TEX_RECONSTRUCT_Z_BIT);
+* ``"rgbe"``: shared-exponent HDR, one packed RGBE word per texel
+  (4× smaller than RGBA f32) with the reference's rgb_to_rgbe
+  quantization (SceneCommon.cpp:7-17) — env-map storage.
+
+Decode is a few fused ALU ops per tap; compressed textures are not
+differentiable (gradients need the raw path).
 """
 
 from __future__ import annotations
@@ -64,12 +74,16 @@ class TexturePacker:
     records: list = dataclasses.field(default_factory=list)  # (offset, w, h, fmt, boff, bw) per (tex, mip)
     num_mips: list = dataclasses.field(default_factory=list)
     blocks: list = dataclasses.field(default_factory=list)
+    rgbe: list = dataclasses.field(default_factory=list)
     _offset: int = 0
     _boffset: int = 0
+    _roffset: int = 0
 
     def add(self, image: np.ndarray, srgb: bool = False,
-            generate_mips: bool = True, compress: bool = False) -> int:
-        """Add an image (H, W, C float in [0,1] or uint8); returns texture id."""
+            generate_mips: bool = True, compress=False) -> int:
+        """Add an image (H, W, C float in [0,1] or uint8); returns texture
+        id.  ``compress``: False | "bc1"/True | "bc4" | "bc5" | "rgbe"
+        (module docstring)."""
         img = np.asarray(image)
         if img.dtype == np.uint8:
             img = img.astype(np.float32) / 255.0
@@ -90,11 +104,28 @@ class TexturePacker:
                 if len(mips) >= NUM_MIP_LEVELS:
                     break
                 mips.append(_downsample2x(mips[-1]))
+        fmt_code = {False: 0, True: 1, "bc1": 1, "bc4": 2, "bc5": 3,
+                    "rgbe": 4}[compress]
         for m in mips:
             h, w = m.shape[:2]
-            if compress:
-                blk, bw, bh = _encode_blocks(m)
-                self.records.append((self._offset, w, h, 1, self._boffset, bw))
+            if fmt_code == 4:
+                words = _encode_rgbe(m)  # (h*w,) f32-bitcast words
+                self.records.append(
+                    (self._offset, w, h, 4, self._roffset, 0))
+                self.rgbe.append(words)
+                self._roffset += w * h
+                self.blocks.append(None)
+                self.texels.append(np.zeros((1, 4), np.float32))
+                self._offset += 1
+            elif fmt_code:
+                if fmt_code == 1:
+                    blk, bw, bh = _encode_blocks(m)
+                elif fmt_code == 2:
+                    blk, bw, bh = _encode_blocks_bc4(m[..., 0])
+                else:
+                    blk, bw, bh = _encode_blocks_bc5(m)
+                self.records.append(
+                    (self._offset, w, h, fmt_code, self._boffset, bw))
                 self.blocks.append(blk)
                 self._boffset += bw * bh
                 # 1-texel raw placeholder keeps the raw offsets valid
@@ -113,8 +144,12 @@ class TexturePacker:
         env importance tables before device upload."""
         rec = int(np.cumsum([0] + self.num_mips[:-1])[tex_id]) + mip
         off, w, h, fmt, boff, bw = self.records[rec]
-        if fmt == 1:
-            return _decode_blocks_np(self.blocks[rec], w, h)
+        if fmt in (1, 2, 3):
+            return _decode_blocks_np(self.blocks[rec], w, h, fmt)
+        if fmt == 4:
+            # rgbe blobs are stored in add() order; find this record's blob
+            k = sum(1 for r in self.records[:rec] if r[3] == 4)
+            return _decode_rgbe_np(self.rgbe[k], w, h)
         return self.texels[rec].reshape(h, w, 4)
 
     def pack(self) -> dict:
@@ -148,24 +183,39 @@ class TexturePacker:
         if used:
             blocks = np.concatenate(used, axis=0)
             out["blocks_t"] = np.ascontiguousarray(blocks.T)
+        if self.rgbe:
+            out["rgbe_t"] = np.concatenate(self.rgbe)[None, :]
         return out
 
 
-def _encode_blocks(img: np.ndarray):
-    """BC1-style encode of (H, W, 4) → (bw*bh, 7) f32 block rows:
-    [min_rgb(3) | max_rgb(3) | idx_word bitcast].  Each texel stores a
-    2-bit position along the min→max diagonal (vectorized numpy)."""
-    h, w = img.shape[:2]
+BLOCK_COLS = 8  # uniform block-row width across BC1/BC4/BC5
+
+
+def _block_tiles(img2d: np.ndarray):
+    """(H, W) or (H, W, C) → (bh*bw, 16[, C]) 4×4 tiles with edge-replicated
+    padding so partial blocks don't skew endpoints."""
+    h, w = img2d.shape[:2]
     bw, bh = (w + 3) // 4, (h + 3) // 4
-    padded = np.zeros((bh * 4, bw * 4, 3), np.float32)
-    padded[:h, :w] = img[..., :3]
-    # replicate edges into the padding so they don't skew endpoints
+    shape = (bh * 4, bw * 4) + img2d.shape[2:]
+    padded = np.zeros(shape, np.float32)
+    padded[:h, :w] = img2d
     if h < bh * 4:
         padded[h:, :w] = padded[h - 1:h, :w]
     if w < bw * 4:
         padded[:, w:] = padded[:, w - 1:w]
-    blocks = padded.reshape(bh, 4, bw, 4, 3).transpose(0, 2, 1, 3, 4)
-    blocks = blocks.reshape(bh * bw, 16, 3)
+    if img2d.ndim == 2:
+        tiles = padded.reshape(bh, 4, bw, 4).transpose(0, 2, 1, 3)
+        return tiles.reshape(bh * bw, 16), bw, bh
+    c = img2d.shape[2]
+    tiles = padded.reshape(bh, 4, bw, 4, c).transpose(0, 2, 1, 3, 4)
+    return tiles.reshape(bh * bw, 16, c), bw, bh
+
+
+def _encode_blocks(img: np.ndarray):
+    """BC1-style encode of (H, W, 4) → (bw*bh, 8) f32 block rows:
+    [min_rgb(3) | max_rgb(3) | idx_word bitcast | 0].  Each texel stores a
+    2-bit position along the min→max diagonal (vectorized numpy)."""
+    blocks, bw, bh = _block_tiles(img[..., :3])
     cmin = blocks.min(axis=1)
     cmax = blocks.max(axis=1)
     axis = cmax - cmin
@@ -175,26 +225,123 @@ def _encode_blocks(img: np.ndarray):
     word = np.zeros(blocks.shape[0], np.uint32)
     for k in range(16):
         word |= q[:, k] << np.uint32(2 * k)
+    pad = np.zeros((blocks.shape[0], 1), np.float32)
     return (
         np.concatenate(
-            [cmin, cmax, word[:, None].view(np.float32)], axis=1
+            [cmin, cmax, word[:, None].view(np.float32), pad], axis=1
         ).astype(np.float32),
         bw, bh,
     )
 
 
-def _decode_blocks_np(blk: np.ndarray, w: int, h: int) -> np.ndarray:
-    """Inverse of _encode_blocks (host-side, for get_image/tests)."""
+def _bc4_payload(chan_tiles: np.ndarray):
+    """(B, 16) channel tiles → (e0, e1, word_lo, word_hi): two scalar
+    endpoints + 16 × 3-bit indices split over two u32 words (texels 0-9 /
+    10-15), the BC4 scheme (TextureUtils.h:89) in f32 block rows."""
+    e0 = chan_tiles.min(axis=1)
+    e1 = chan_tiles.max(axis=1)
+    denom = np.maximum(e1 - e0, 1e-12)
+    q = np.clip(
+        np.round((chan_tiles - e0[:, None]) / denom[:, None] * 7.0), 0, 7
+    ).astype(np.uint32)
+    lo = np.zeros(chan_tiles.shape[0], np.uint32)
+    hi = np.zeros(chan_tiles.shape[0], np.uint32)
+    for k in range(10):
+        lo |= q[:, k] << np.uint32(3 * k)
+    for k in range(10, 16):
+        hi |= q[:, k] << np.uint32(3 * (k - 10))
+    return e0, e1, lo.view(np.float32), hi.view(np.float32)
+
+
+def _encode_blocks_bc4(chan: np.ndarray):
+    """Single-channel BC4: rows [e0, e1, w_lo, w_hi, 0, 0, 0, 0]."""
+    tiles, bw, bh = _block_tiles(chan)
+    e0, e1, lo, hi = _bc4_payload(tiles)
+    z = np.zeros_like(e0)
+    return (
+        np.stack([e0, e1, lo, hi, z, z, z, z], axis=1).astype(np.float32),
+        bw, bh,
+    )
+
+
+def _encode_blocks_bc5(img: np.ndarray):
+    """Dual-channel BC5 (two BC4 payloads — normal-map XY):
+    rows [e0x, e1x, wx_lo, wx_hi, e0y, e1y, wy_lo, wy_hi]."""
+    tx, bw, bh = _block_tiles(img[..., 0])
+    ty, _, _ = _block_tiles(img[..., 1])
+    e0x, e1x, lx, hx = _bc4_payload(tx)
+    e0y, e1y, ly, hy = _bc4_payload(ty)
+    return (
+        np.stack([e0x, e1x, lx, hx, e0y, e1y, ly, hy], axis=1).astype(
+            np.float32),
+        bw, bh,
+    )
+
+
+def _encode_rgbe(img: np.ndarray) -> np.ndarray:
+    """(H, W, 4) → (H*W,) f32-bitcast packed RGBE words using the
+    reference's quantization (rgb_to_rgbe, SceneCommon.cpp:7-17):
+    mantissas = rgb * frexp(max)/max * 256, exponent biased by 128."""
+    rgb = np.maximum(img[..., :3].reshape(-1, 3), 0.0)
+    mx = rgb.max(axis=1)
+    m, e = np.frexp(mx)
+    factor = np.where(mx >= 1e-32, m * 256.0 / np.maximum(mx, 1e-32), 0.0)
+    q = np.clip(rgb * factor[:, None], 0.0, 255.0).astype(np.uint32)
+    eq = np.where(mx >= 1e-32, e + 128, 0).astype(np.uint32)
+    word = q[:, 0] | (q[:, 1] << 8) | (q[:, 2] << 16) | (eq << 24)
+    return word.view(np.float32)
+
+
+def _decode_rgbe_np(words: np.ndarray, w: int, h: int) -> np.ndarray:
+    u = words.view(np.uint32)
+    r = (u & 255).astype(np.float32)
+    g = ((u >> 8) & 255).astype(np.float32)
+    b = ((u >> 16) & 255).astype(np.float32)
+    e = ((u >> 24) & 255).astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 128 - 8), 0.0).astype(
+        np.float32)
+    out = np.ones((h * w, 4), np.float32)
+    out[:, 0] = r * scale
+    out[:, 1] = g * scale
+    out[:, 2] = b * scale
+    return out.reshape(h, w, 4)
+
+
+def _decode_blocks_np(blk: np.ndarray, w: int, h: int,
+                      fmt: int = 1) -> np.ndarray:
+    """Inverse of the block encoders (host-side, for get_image/tests)."""
     bw = (w + 3) // 4
-    cmin, cmax = blk[:, 0:3], blk[:, 3:6]
-    word = blk[:, 6:7].view(np.uint32)[:, 0]
     out = np.ones((h, w, 4), np.float32)
+    if fmt == 1:
+        cmin, cmax = blk[:, 0:3], blk[:, 3:6]
+        word = np.ascontiguousarray(blk[:, 6]).view(np.uint32)
+        for y in range(h):
+            for x in range(w):
+                b = (y // 4) * bw + (x // 4)
+                sub = (y % 4) * 4 + (x % 4)
+                t = ((word[b] >> np.uint32(2 * sub)) & 3) / 3.0
+                out[y, x, :3] = cmin[b] + (cmax[b] - cmin[b]) * t
+        return out
+
+    def bc4_at(cols, b, sub):
+        e0, e1 = blk[b, cols], blk[b, cols + 1]
+        lo = np.ascontiguousarray(blk[:, cols + 2]).view(np.uint32)[b]
+        hi = np.ascontiguousarray(blk[:, cols + 3]).view(np.uint32)[b]
+        q = (lo >> np.uint32(3 * sub)) & 7 if sub < 10 else (
+            (hi >> np.uint32(3 * (sub - 10))) & 7)
+        return e0 + (e1 - e0) * (q / 7.0)
+
     for y in range(h):
         for x in range(w):
             b = (y // 4) * bw + (x // 4)
             sub = (y % 4) * 4 + (x % 4)
-            t = ((word[b] >> np.uint32(2 * sub)) & 3) / 3.0
-            out[y, x, :3] = cmin[b] + (cmax[b] - cmin[b]) * t
+            v = bc4_at(0, b, sub)
+            if fmt == 2:
+                out[y, x, :3] = v
+            else:
+                out[y, x, 0] = v
+                out[y, x, 1] = bc4_at(4, b, sub)
+                out[y, x, 2] = 0.5
     return out
 
 
@@ -257,7 +404,8 @@ def sample_bilinear(tex, tex_id, uv, lod=None, rand=None, aniso_duv=None,
     w = tex["tex_w"][rec]
     h = tex["tex_h"][rec]
     compressed = "blocks_t" in tex  # static: any compressed texture packed
-    if compressed:
+    has_rgbe = "rgbe_t" in tex      # static: any RGBE texture packed
+    if compressed or has_rgbe:
         fmt = tex["tex_fmt"][rec]
         boff = tex["tex_boff"][rec]
         bw = tex["tex_bw"][rec]
@@ -275,18 +423,59 @@ def sample_bilinear(tex, tex_id, uv, lod=None, rand=None, aniso_duv=None,
         xi = jnp.mod(xi.astype(jnp.int32), w)
         yi = jnp.mod(yi.astype(jnp.int32), h)
         raw = jnp.take(tex["texels_t"], off + yi * w + xi, axis=1)
-        if not compressed:
+        if not (compressed or has_rgbe):
             return raw
-        # BC1-style decode: block row → lerp endpoints by the 2-bit index
-        blk = jnp.take(
-            tex["blocks_t"], boff + (yi >> 2) * bw + (xi >> 2), axis=1
-        )
-        sub = (yi & 3) * 4 + (xi & 3)
-        word = jax.lax.bitcast_convert_type(blk[6], jnp.int32)
-        t = ((word >> (2 * sub)) & 3).astype(jnp.float32) * (1.0 / 3.0)
-        rgb = blk[0:3] + (blk[3:6] - blk[0:3]) * t[None, :]
-        dec = jnp.concatenate([rgb, jnp.ones_like(t)[None, :]], axis=0)
-        return jnp.where(fmt[None, :] == 1, dec, raw)
+        out = raw
+        if compressed:
+            blk = jnp.take(
+                tex["blocks_t"], boff + (yi >> 2) * bw + (xi >> 2), axis=1
+            )
+            sub = (yi & 3) * 4 + (xi & 3)
+            ones = jnp.ones_like(blk[0])[None, :]
+            # BC1: block row → lerp RGB endpoints by the 2-bit index
+            word = jax.lax.bitcast_convert_type(blk[6], jnp.int32)
+            t = ((word >> (2 * sub)) & 3).astype(jnp.float32) * (1.0 / 3.0)
+            rgb = blk[0:3] + (blk[3:6] - blk[0:3]) * t[None, :]
+            bc1 = jnp.concatenate([rgb, ones], axis=0)
+            out = jnp.where(fmt[None, :] == 1, bc1, out)
+
+            # BC4/BC5: 3-bit indices over two words per channel
+            def bc4(cols):
+                lo = jax.lax.bitcast_convert_type(blk[cols + 2], jnp.int32)
+                hi = jax.lax.bitcast_convert_type(blk[cols + 3], jnp.int32)
+                q = jnp.where(
+                    sub < 10,
+                    (lo >> (3 * sub)) & 7,
+                    (hi >> (3 * (sub - 10))) & 7,
+                ).astype(jnp.float32) * (1.0 / 7.0)
+                return blk[cols] + (blk[cols + 1] - blk[cols]) * q
+
+            v0 = bc4(0)[None, :]
+            bc4_dec = jnp.concatenate([v0, v0, v0, ones], axis=0)
+            out = jnp.where(fmt[None, :] == 2, bc4_dec, out)
+            v1 = bc4(4)[None, :]
+            bc5_dec = jnp.concatenate(
+                [v0, v1, 0.5 * ones, ones], axis=0)
+            out = jnp.where(fmt[None, :] == 3, bc5_dec, out)
+        if has_rgbe:
+            # shared-exponent HDR decode (rgbe_to_rgb: rgb · 2^(e-136))
+            word = jax.lax.bitcast_convert_type(
+                jnp.take(tex["rgbe_t"][0], boff + yi * w + xi), jnp.int32
+            )
+            e = (word >> 24) & 255
+            scale = jnp.where(
+                e > 0,
+                jnp.exp2((e - 136).astype(jnp.float32)),
+                0.0,
+            )
+            rgbe = jnp.stack([
+                ((word >> 0) & 255).astype(jnp.float32) * scale,
+                ((word >> 8) & 255).astype(jnp.float32) * scale,
+                ((word >> 16) & 255).astype(jnp.float32) * scale,
+                jnp.ones_like(scale),
+            ], axis=0)
+            out = jnp.where(fmt[None, :] == 4, rgbe, out)
+        return out
 
     if rand is not None:
         # stochastic single tap (expectation == the 4-tap filter below)

@@ -46,13 +46,23 @@ def _cases():
     for t in _manifest():
         if not t.get("runnable"):
             continue
-        if t["denoise"] != "none" or t["caching"] or t["partial"]:
-            continue  # filter/caching variants: covered by their own tests
-        if t["min_spp"] != t["spp"]:
-            continue  # adaptive variant needs goldens + adaptive driver
+        if t["caching"] or t["partial"]:
+            continue  # cache/partial variants: covered by their own tests
         if not os.path.exists(os.path.join(GOLDENS, t["name"], "ref.tga")):
             continue  # golden not generated yet
-        out.append(t)
+        out.append(dict(t, golden=t["name"]))
+    # synthetic adaptive variant (the reference's only adaptive row,
+    # complex_mat5_adaptive, is blocked by stripped textures — mirror its
+    # parameters onto the runnable complex_mat6 scene against the same
+    # converged golden; reference semantics: adaptive render at
+    # [min_spp, spp] with variance stop vs non-adaptive golden,
+    # tests/test_shading.cpp adaptive variants)
+    m6 = next((t for t in out if t["name"] == "complex_mat6"), None)
+    if m6 is not None:
+        out.append(dict(
+            m6, name="complex_mat6_adaptive", min_spp=16,
+            variance_threshold=0.004, golden="complex_mat6",
+        ))
     return out
 
 
@@ -84,10 +94,11 @@ def _gates(entry):
     from ray_tpu.utils.image_io import read_tga
 
     floor, budget = entry["min_psnr"], entry["pix_thres"]
-    ref_path = os.path.join(GOLDENS, entry["name"], "refspp.tga")
+    gold_dir = entry.get("golden", entry["name"])
+    ref_path = os.path.join(GOLDENS, gold_dir, "refspp.tga")
     note = ""
     if os.path.exists(ref_path):
-        gold = read_tga(os.path.join(GOLDENS, entry["name"], "ref.tga"))
+        gold = read_tga(os.path.join(GOLDENS, gold_dir, "ref.tga"))
         refspp = read_tga(ref_path)
         ref_psnr, ref_ff = _psnr_fireflies(refspp[..., :3], gold[..., :3])
         floor = min(floor, np.floor((ref_psnr - 0.3) * 100.0) / 100.0)
@@ -104,16 +115,35 @@ def test_golden(entry):
 
     sc, cam, ps, vt = build_scene(entry)
     scene = sc.finalize()
-    r = Renderer(RenderSettings(width=256, height=256), ps)
+    rs = RenderSettings(width=256, height=256)
+    if entry["min_spp"] != entry["spp"]:
+        # adaptive driver (reference camera min_samples/variance_threshold,
+        # SceneBase.h:301-306): converged pixels stop sampling early
+        rs = RenderSettings(width=256, height=256,
+                            min_samples=entry["min_spp"],
+                            variance_threshold=entry["variance_threshold"])
+    r = Renderer(rs, ps)
     r.render(scene, cam, entry["spp"])
-    px = r.pixels(cam, vt)
+    if entry["denoise"] != "none":
+        # reference run_material_test denoises before comparing
+        # (test_shading.cpp DenoiseImage NLM/UNet paths); the golden is the
+        # converged CLEAN render, so the denoiser must reach the floor
+        px_lin = r.denoise_image(mode=entry["denoise"])
+        from ray_tpu.render.tonemap import apply_view_transform
+
+        px = np.asarray(apply_view_transform(
+            np.asarray(px_lin).reshape(-1, 3), vt, float(cam.exposure),
+        )).reshape(256, 256, 3)
+    else:
+        px = r.pixels(cam, vt)
     out_u8 = np.clip(px * 255.0, 0, 255).astype(np.uint8)
 
-    ref = read_tga(os.path.join(GOLDENS, entry["name"], "ref.tga"))[..., :3]
+    ref = read_tga(os.path.join(GOLDENS, entry["golden"], "ref.tga"))[..., :3]
     psnr, fireflies = _psnr_fireflies(out_u8, ref)
     floor, budget, note = _gates(entry)
 
     out_dir = os.path.join(GOLDENS, entry["name"])
+    os.makedirs(out_dir, exist_ok=True)
     write_tga(os.path.join(out_dir, "tpu_out.tga"), out_u8)
     print(f"{entry['name']}: PSNR {psnr:.2f}/{floor:.2f} dB, "
           f"fireflies {fireflies}/{budget}{note}")

@@ -86,3 +86,28 @@ def test_sharded_gradients_allreduce(setup):
         np.asarray(g_sharded), np.asarray(g_single), rtol=2e-4, atol=1e-6
     )
     assert np.abs(np.asarray(g_sharded)).max() > 0.0
+
+
+def test_balanced_matches_sharded(setup):
+    """Cross-chip ray re-balance (static all_to_all interleave) must be
+    bit-exact vs plain band sharding: lanes are only RELOCATED between
+    chips; per-lane math (RNG seeds from pixel coords, accumulation) is
+    untouched (ROADMAP #10 / SURVEY §5 cross-chip re-balance)."""
+    from ray_tpu.parallel.shard import render_sharded_balanced
+
+    scene, cam, table, settings = setup
+    mesh = make_tile_mesh()
+
+    plain = render_sharded(
+        scene, cam, table, jnp.uint32(1), jnp.uint32(0),
+        mesh=mesh, width=WIDTH, height=HEIGHT, settings=settings,
+    )
+    balanced = render_sharded_balanced(
+        scene, cam, table, jnp.uint32(1), jnp.uint32(0),
+        mesh=mesh, width=WIDTH, height=HEIGHT, settings=settings,
+    )
+    for k in ("color", "base_color", "depth_normal"):
+        np.testing.assert_array_equal(
+            np.asarray(plain[k]), np.asarray(balanced[k]), err_msg=k
+        )
+    assert int(plain["rays_traced"]) == int(balanced["rays_traced"])
