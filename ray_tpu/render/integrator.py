@@ -562,6 +562,15 @@ def render_tile(
             )
             light_first = active & (al_i >= 0) & (al_t < seg_end)
             lcol = scene.lights["col"][jnp.maximum(al_i, 0)] * al_spot[:, None]
+            if any(p for (_k, _v, _d, p) in scene.light_kinds):
+                # sky-portal hit shows the environment through the window
+                # (Evaluate_LightColor sky_portal branch, ShadeRef.cpp:1077)
+                hit_portal = scene.lights["portal"][jnp.maximum(al_i, 0)]
+                lcol = jnp.where(
+                    hit_portal[:, None],
+                    lcol * light_sampling.env_color(scene, rd),
+                    lcol,
+                )
             if settings.use_nee:
                 # MIS unconditionally at ANY depth (Evaluate_LightColor,
                 # ShadeRef.cpp:1080-1170, has no depth-cap condition): the
@@ -768,11 +777,20 @@ def render_tile(
             sh_dist = jnp.sqrt(jnp.maximum(dot(to_lp, to_lp, False), 1e-30))
             sh_d = to_lp / sh_dist[:, None]
             sh_dist = sh_dist * ls.dist_mul
+            # sky portals block ENV shadow rays one-sidedly (the blocker
+            # pass, CoreRef.cpp:4866-4870 + :4533-4590): env light enters
+            # the interior only through portal windows
+            pblock = jnp.zeros((Rl,), jnp.bool_)
+            if any(p for (_k, _v, _d, p) in scene.light_kinds):
+                pblock = ls.from_env & light_sampling.portal_shadow_block(
+                    scene, sh_o, sh_d, sh_dist * 0.999
+                )
             if scene.has_transparency:
                 rc = _trace_transmittance(
                     sh_o, sh_d, sh_dist * 0.999, nee_valid & ls.cast_shadow
                 )
                 factor = jnp.where(ls.cast_shadow[:, None], rc, 1.0)
+                factor = jnp.where(pblock[:, None], 0.0, factor)
                 sh_contrib = _clamp_contribution(
                     throughput * nee_col * factor, limit0
                 )
@@ -782,7 +800,9 @@ def render_tile(
                     sh_o, sh_d, jnp.zeros((Rl,), jnp.float32), sh_dist * 0.999,
                     nee_valid & ls.cast_shadow,
                 )
-                visible = nee_valid & ((~ls.cast_shadow) | (~occluded))
+                visible = nee_valid & ((~ls.cast_shadow) | (~occluded)) & (
+                    ~pblock
+                )
                 sh_contrib = _clamp_contribution(throughput * nee_col, limit0)
                 accum = _add(accum, sh_contrib, visible, w_dir=ls.L)
 

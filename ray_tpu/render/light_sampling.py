@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ray_tpu.ops.gather import one_hot_f32, read_packed, read_rows
 from ray_tpu.ops.linalg import (
+    HIT_BIAS,
     MAX_DIST,
     cross,
     dot,
@@ -1048,3 +1049,47 @@ def tri_light_hit_pdf(scene, prim, t, I, pick_pdf_of_light, light_id=None,
         st_pdf, _, st_ok = sample_spherical_triangle(ro, p0, p1, p2, zero, zero)
         pdf = jnp.where(st_ok, st_pdf, pdf)
     return pdf * pick_pdf_of_light
+
+
+def portal_shadow_block(scene, ro, rd, dist):
+    """Sky-portal shadow blocking — the reference's blocker-light pass
+    (TraceShadowRays → IntersectAreaLights shadow variant,
+    CoreRef.cpp:4866-4870, leaf test :4533-4590): only lights with SHADOW
+    ray visibility block, which the scene build grants exclusively to sky
+    portals (SceneCPU.cpp:676-678), and a portal only blocks shadow rays
+    flagged as ENV rays (``l.sky_portal && ray.dist >= 0 → skip``) — so
+    environment light reaches the interior only THROUGH portal windows.
+
+    Returns (R,) bool: True where the env shadow ray crosses a portal
+    one-sidedly (cosθ < 0) within ``dist``.  The caller applies it only
+    to ``ls.from_env`` rays.  Static no-op unless the scene has portals.
+    """
+    L = scene.lights
+    R = ro.shape[0]
+    blocked = jnp.zeros((R,), jnp.bool_)
+    for i, (ltype, _vis, _dsd, is_portal) in enumerate(scene.light_kinds):
+        if not is_portal or ltype not in (LightType.RECT, LightType.DISK):
+            continue
+        pos = L["pos"][i]
+        u_ax = L["u"][i] * L["width"][i]
+        v_ax = L["v"][i] * L["height"][i]
+        fwd = jnp.cross(u_ax, v_ax)
+        fwd = fwd / jnp.maximum(jnp.linalg.norm(fwd), 1e-12)
+        cos_theta = dot(rd, fwd[None, :], False)
+        t = (jnp.sum(fwd * pos) - dot(ro, fwd[None, :], False)) / jnp.minimum(
+            cos_theta, -1e-12
+        )
+        hit = (cos_theta < 0.0) & (t > HIT_BIAS) & (t < dist)
+        vi = ro + rd * t[:, None] - pos[None, :]
+        a1 = dot(vi, u_ax[None, :], False) / jnp.maximum(
+            jnp.sum(u_ax * u_ax), 1e-12
+        )
+        a2 = dot(vi, v_ax[None, :], False) / jnp.maximum(
+            jnp.sum(v_ax * v_ax), 1e-12
+        )
+        if ltype == LightType.RECT:
+            inside = (jnp.abs(a1) <= 0.5) & (jnp.abs(a2) <= 0.5)
+        else:
+            inside = jnp.sqrt(a1 * a1 + a2 * a2) <= 0.5
+        blocked = blocked | (hit & inside)
+    return blocked

@@ -270,7 +270,10 @@ class Renderer:
                view_transform: int = ViewTransform.STANDARD) -> np.ndarray:
         """Tonemapped 8-bit-comparable float image in [0,1]."""
         exposure = float(cam.exposure) if cam is not None else 0.0
-        img = apply_view_transform(self.full_buf, view_transform, exposure)
+        gamma = float(cam.gamma) if cam is not None else 1.0
+        img = apply_view_transform(
+            self.full_buf, view_transform, exposure, gamma
+        )
         h, w = self.settings.height, self.settings.width
         return np.asarray(img).reshape(h, w, 3)
 

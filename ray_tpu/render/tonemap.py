@@ -153,12 +153,22 @@ def tonemap_filmic(c, contrast: float = 1.0):
     return jnp.clip(out, 0.0, 1.0)
 
 
-def apply_view_transform(c, view_transform: int, exposure=0.0):
+def apply_view_transform(c, view_transform: int, exposure=0.0, gamma=1.0):
     c = c * jnp.exp2(exposure)
     if view_transform == ViewTransform.AGX:
-        return tonemap_agx(c)
-    if view_transform == ViewTransform.AGX_PUNCHY:
-        return tonemap_agx_punchy(c)
-    if view_transform in _FILMIC_CONTRAST:
-        return tonemap_filmic(c, _FILMIC_CONTRAST[view_transform])
-    return linear_to_srgb(jnp.clip(c, 0.0, 1.0))
+        out = tonemap_agx(c)
+    elif view_transform == ViewTransform.AGX_PUNCHY:
+        out = tonemap_agx_punchy(c)
+    elif view_transform in _FILMIC_CONTRAST:
+        out = tonemap_filmic(c, _FILMIC_CONTRAST[view_transform])
+    else:
+        out = linear_to_srgb(jnp.clip(c, 0.0, 1.0))
+    # camera_desc_t.gamma: pow(c, 1/gamma) after the view transform, then
+    # saturate (reference Tonemap, TonemapRef.h:40-46)
+    out = jnp.where(
+        jnp.asarray(gamma) != 1.0,
+        jnp.power(jnp.clip(out, 0.0, 1.0),
+                  1.0 / jnp.maximum(jnp.asarray(gamma), 1e-6)),
+        out,
+    )
+    return jnp.clip(out, 0.0, 1.0)

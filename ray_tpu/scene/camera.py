@@ -49,6 +49,9 @@ class Camera:
     fstop: np.ndarray
     sensor_height: np.ndarray
     exposure: np.ndarray     # 2^exposure multiplier applied at resolve
+    gamma: np.ndarray        # output pow(c, 1/gamma) after the view
+                             # transform (camera_desc_t.gamma, Tonemap
+                             # TonemapRef.h:40-42)
     lens_rotation: np.ndarray
     lens_ratio: np.ndarray
     clip_start: np.ndarray
@@ -77,6 +80,7 @@ def make_camera(
     shift=(0.0, 0.0),
     sensor_height: float = 0.036,
     exposure: float = 0.0,
+    gamma: float = 1.0,
     focus_distance: float = 1.0,
     fstop: float = 0.0,
     lens_rotation: float = 0.0,
@@ -136,6 +140,7 @@ def make_camera(
         fstop=f32(fstop),
         sensor_height=f32(sensor_height),
         exposure=f32(exposure),
+        gamma=f32(gamma),
         lens_rotation=f32(lens_rotation),
         lens_ratio=f32(lens_ratio),
         clip_start=f32(clip_start),

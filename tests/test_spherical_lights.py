@@ -253,3 +253,46 @@ def test_focal_length_lens_units():
                       sensor_height=0.036, focal_len=0.050)
     assert abs(float(cam.fov) - 39.6) < 0.1
     assert abs(float(cam.focal_length) - 0.050) < 1e-6
+
+
+def test_portal_shadow_block():
+    """Portal blocker geometry (CoreRef.cpp:4533-4590): env shadow rays
+    crossing a portal's FRONT side within range are blocked; back-side
+    crossings, out-of-range hits, and misses pass."""
+    import jax.numpy as jnp
+    from ray_tpu.render.light_sampling import portal_shadow_block
+    from ray_tpu.scene.lights import LightDesc, LightType
+    from ray_tpu.scene.materials import MaterialDesc, ShadingNode
+    from ray_tpu.scene.scene import Scene
+
+    sc = Scene()
+    sc.add_material(MaterialDesc(type=ShadingNode.DIFFUSE))
+    sc.add_mesh(vertices=[[50, 0, 0], [51, 0, 0], [50, 1, 0]],
+                indices=[[0, 1, 2]], material=0)
+    # portal in the z=1 plane, facing -z (toward origin), 2x2
+    sc.add_light(LightDesc(
+        type=LightType.RECT, color=(1, 1, 1), position=(0, 0, 1),
+        axis_u=(1, 0, 0), axis_v=(0, 1, 0), width=2.0, height=2.0,
+        sky_portal=True))
+    sc.set_environment((1.0, 1.0, 1.0))
+    scene = sc.finalize()
+
+    ro = jnp.asarray([
+        [0.0, 0.0, 2.0],   # in front (+z side = front, axis u×v = +z)
+        [0.0, 0.0, 0.0],   # behind: crosses back side
+        [0.0, 0.0, 2.0],   # in front but pointing away
+        [1.6, 0.0, 2.0],   # in front, crosses the plane outside the rect
+    ], jnp.float32)
+    rd = jnp.asarray([
+        [0.0, 0.0, -1.0],
+        [0.0, 0.0, 1.0],
+        [0.0, 0.0, 1.0],
+        [0.0, 0.0, -1.0],
+    ], jnp.float32)
+    dist = jnp.full((4,), 10.0, jnp.float32)
+    blocked = np.asarray(portal_shadow_block(scene, ro, rd, dist))
+    assert blocked.tolist() == [True, False, False, False], blocked
+    # range: a ray stopping short of the plane is not blocked
+    short = np.asarray(portal_shadow_block(
+        scene, ro, rd, jnp.full((4,), 0.5, jnp.float32)))
+    assert short.tolist() == [False, False, False, False], short
