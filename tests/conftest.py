@@ -30,3 +30,19 @@ jax.config.update("jax_enable_x64", False)
 
 if not _golden:
     assert len(jax.devices()) == 8, jax.devices()
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The monolithic suite used to segfault deep into the session (XLA
+    CPU after hundreds of live compiled executables in one process,
+    round-2/3 carry-over).  Dropping compiled-function caches at module
+    boundaries bounds the live-executable count; each module mostly
+    compiles its own scenes, so the recompile cost is small."""
+    yield
+    import jax
+
+    jax.clear_caches()
