@@ -965,14 +965,41 @@ def _traverse_tlas(nodes, tris, inst, ro, rd, t_min, t_max, active, ray_mask,
     return state[-1]
 
 
-@partial(jax.jit, static_argnames=("max_leaf", "stack_size"))
+def _tlas_pallas_ok(nodes, force_xla) -> bool:
+    """Route to the VMEM-resident Pallas TLAS kernel on TPU when the
+    unified row table fits the gather budget (traverse_pallas
+    T_MAX_TLAS_ROWS) — heavily instanced scenes qualify far beyond the
+    flattened-triangle Pallas cap."""
+    if force_xla or _FORCE_XLA or jax.default_backend() != "tpu":
+        return False
+    if "wrows_tlas" not in nodes:
+        return False
+    from ray_tpu.ops import traverse_pallas as tp
+
+    return nodes["wrows_tlas"].shape[0] <= tp.T_MAX_TLAS_ROWS
+
+
+@partial(jax.jit, static_argnames=("max_leaf", "stack_size", "force_xla"))
 def trace_closest_tlas(nodes, tris, inst, ro, rd, t_min, t_max, active,
                        ray_mask=None, max_leaf: int = 4,
-                       stack_size: int = MAX_STACK_SIZE):
+                       stack_size: int = MAX_STACK_SIZE,
+                       force_xla: bool = False):
     """Two-level closest-hit trace.  Returns a :class:`HitInst`.
 
-    Routes to the wide unified-table machine when the scene packed one
-    (build_wtlas); the binary machine is the fallback/spec path."""
+    Routes to the Pallas VMEM kernel (TPU + table fits), else the wide
+    unified-table XLA machine when the scene packed one (build_wtlas);
+    the binary machine is the fallback/spec path."""
+    if _tlas_pallas_ok(nodes, force_xla):
+        from ray_tpu.ops.traverse_pallas import trace_tlas_pallas
+
+        t, prim, u, v, bf, inst_row = trace_tlas_pallas(
+            nodes, ro, rd, t_min, t_max, active, ray_mask,
+            max_leaf=max_leaf, stack_size=stack_size, any_hit=False,
+        )
+        return HitInst(
+            t=t, prim=prim, u=u, v=v, backface=bf != 0,
+            inst=jnp.where(prim >= 0, inst_row - nodes["winst_base"], -1),
+        )
     if "wrows_tlas" in nodes:
         hit = _traverse_wide_tlas(
             nodes, ro, rd, t_min, t_max, active, ray_mask,
@@ -991,11 +1018,20 @@ def trace_closest_tlas(nodes, tris, inst, ro, rd, t_min, t_max, active,
     )
 
 
-@partial(jax.jit, static_argnames=("max_leaf", "stack_size"))
+@partial(jax.jit, static_argnames=("max_leaf", "stack_size", "force_xla"))
 def trace_occlusion_tlas(nodes, tris, inst, ro, rd, t_min, t_max, active,
                          ray_mask=None, max_leaf: int = 4,
-                         stack_size: int = MAX_STACK_SIZE):
+                         stack_size: int = MAX_STACK_SIZE,
+                         force_xla: bool = False):
     """Two-level any-hit trace: returns (R,) bool ``occluded``."""
+    if _tlas_pallas_ok(nodes, force_xla):
+        from ray_tpu.ops.traverse_pallas import trace_tlas_pallas
+
+        _t, prim, _u, _v, _bf, _ir = trace_tlas_pallas(
+            nodes, ro, rd, t_min, t_max, active, ray_mask,
+            max_leaf=max_leaf, stack_size=stack_size, any_hit=True,
+        )
+        return prim >= 0
     if "wrows_tlas" in nodes:
         hit = _traverse_wide_tlas(
             nodes, ro, rd, t_min, t_max, active, ray_mask,

@@ -481,3 +481,339 @@ def trace_bvh_pallas(bvh_soa, tri_soa, ro, rd, t_min, t_max, active, *,
         stack_size=stack_size, max_leaf=max_leaf, any_hit=any_hit,
     )
     return Hit(t=t, prim=prim, u=u, v=v, backface=bf != 0)
+
+
+# ---------------------------------------------------------------------------
+# Wide two-level TLAS/BLAS kernel: the unified wtlas row table AND all ray/
+# traversal state VMEM-resident.  Port of ops/traverse._traverse_wide_tlas
+# (bit-identical codes/selects) — the XLA while-loop round-trips ~30 (R,)
+# state columns plus the (stack, R) stack through HBM on every traversal
+# step; here state lives in registers/VMEM scratch for the whole walk.
+# Applicable when the unified row table fits the gather budget
+# (rows <= T_MAX_TLAS_ROWS): heavily instanced scenes (the 330k-tri
+# colonnade's unique-geometry table is a few thousand rows) qualify even
+# though their flattened triangle count is far beyond T_MAX_BVH.
+# ---------------------------------------------------------------------------
+
+T_MAX_TLAS_ROWS = 8192  # unified rows; f32+i32 tables ≈ 8k*W*8B ≈ 3.6 MB
+
+
+def _tlas_kernel(refs, *, B, n_seg, stack_size, max_leaf, any_hit):
+    from ray_tpu.scene.wbvh import INST_ROW_BIT
+
+    (rows_f, rows_i,
+     wox_r, woy_r, woz_r, wdx_r, wdy_r, wdz_r, tmn, tmx, act, msk,
+     o_t, o_prim, o_u, o_v, o_bf, o_inst, stack_ref) = refs
+
+    shape = (B, LANES)
+    RESTORE = jnp.int32(-0x7ffffffe)
+
+    def gf(c, idx):
+        local = idx & (LANES - 1)
+        if n_seg == 1:
+            row = jnp.broadcast_to(rows_f[c, 0:1, :], shape)
+            return jnp.take_along_axis(row, local, axis=1)
+        seg = idx >> 7
+        out = None
+        for s in range(n_seg):
+            row = jnp.broadcast_to(rows_f[c, s:s + 1, :], shape)
+            g = jnp.take_along_axis(row, local, axis=1)
+            out = g if out is None else jnp.where(seg == s, g, out)
+        return out
+
+    def gi(c, idx):
+        local = idx & (LANES - 1)
+        if n_seg == 1:
+            row = jnp.broadcast_to(rows_i[c, 0:1, :], shape)
+            return jnp.take_along_axis(row, local, axis=1)
+        seg = idx >> 7
+        out = None
+        for s in range(n_seg):
+            row = jnp.broadcast_to(rows_i[c, s:s + 1, :], shape)
+            g = jnp.take_along_axis(row, local, axis=1)
+            out = g if out is None else jnp.where(seg == s, g, out)
+        return out
+
+    wox, woy, woz = wox_r[:], woy_r[:], woz_r[:]
+    wdx, wdy, wdz = wdx_r[:], wdy_r[:], wdz_r[:]
+    t_min = tmn[:]
+    t_limit = tmx[:]
+    active = act[:] != 0
+    ray_mask = msk[:]
+
+    def safe_inv(v):
+        tiny = jnp.where(v >= 0.0, jnp.float32(1e-7), jnp.float32(-1e-7))
+        return 1.0 / jnp.where(jnp.abs(v) > 1e-7, v, tiny)
+
+    wix, wiy, wiz = safe_inv(wdx), safe_inv(wdy), safe_inv(wdz)
+
+    for s in range(stack_size):
+        stack_ref[s] = jnp.full(shape, _EMPTY, jnp.int32)
+
+    cur0 = jnp.where(active, jnp.int32(0xFF), _EMPTY)
+    zero_f = jnp.zeros(shape, jnp.float32)
+    zero_i = jnp.zeros(shape, jnp.int32)
+    state0 = (
+        jnp.int32(1), cur0, zero_i, zero_i,          # alive, cur, sp, cur_inst
+        wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz,  # current-space ray
+        t_limit, jnp.full(shape, -1, jnp.int32),      # hit t, prim
+        zero_f, zero_f, zero_i,                       # u, v, bf
+        jnp.full(shape, -1, jnp.int32),               # inst
+    )
+
+    def body(state):
+        (_, cur, sp, cur_inst, ox, oy, oz, dx, dy, dz, ix, iy, iz,
+         t_best, prim, u_b, v_b, bf_b, inst_b) = state
+        is_node = cur >= 0
+        neg = (cur < 0) & (cur != _EMPTY) & (cur != RESTORE)
+        is_restore = cur == RESTORE
+        v_dec = jnp.where(neg, -cur - 1, 0)
+        is_inst = neg & ((v_dec & INST_ROW_BIT) != 0)
+        is_tri = neg & (~is_inst)
+        node = jnp.where(is_node, cur >> 8, 0)
+        mask8 = jnp.where(is_node, cur & 0xFF, 0)
+        ridx = jnp.where(is_node, node, v_dec & (INST_ROW_BIT - 1))
+
+        # ---- one gather per needed column, reused by all three row
+        # interpretations (node bbox = instance xform = tri vertex cols) --
+        L = max_leaf
+        fcols = [gf(c, ridx) for c in range(48)]
+        codes = [gi(48 + c, ridx) for c in range(8)]
+        ivis = gi(12, ridx)
+        iroot = gi(13, ridx)
+        prims = [gi(9 * L + k, ridx) for k in range(L)]
+
+        # ---- wide-node interpretation: unrolled over 8 children ----
+        best_t = jnp.full(shape, jnp.inf, jnp.float32)
+        best_code = jnp.full(shape, _EMPTY, jnp.int32)
+        best_bit = zero_i
+        rem = zero_i
+        hit_any = jnp.zeros(shape, jnp.bool_)
+        cap = t_best
+        for c in range(8):
+            lox, loy, loz = fcols[c], fcols[8 + c], fcols[16 + c]
+            hix, hiy, hiz = fcols[24 + c], fcols[32 + c], fcols[40 + c]
+            code_c = codes[c]
+            tx0 = (lox - ox) * ix
+            tx1 = (hix - ox) * ix
+            ty0 = (loy - oy) * iy
+            ty1 = (hiy - oy) * iy
+            tz0 = (loz - oz) * iz
+            tz1 = (hiz - oz) * iz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.maximum(jnp.minimum(tz0, tz1), t_min),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.minimum(jnp.maximum(tz0, tz1), cap),
+            )
+            in_mask = ((mask8 >> c) & 1) != 0
+            ok = (tn <= tf * 1.00000024) & in_mask & (code_c != _EMPTY) \
+                & is_node
+            # strict < keeps the FIRST minimal child — jnp.argmin semantics
+            better = ok & (tn < best_t)
+            best_t = jnp.where(better, tn, best_t)
+            best_code = jnp.where(better, code_c, best_code)
+            best_bit = jnp.where(better, jnp.int32(1) << c, best_bit)
+            rem = rem | jnp.where(ok, jnp.int32(1) << c, 0)
+            hit_any = hit_any | ok
+        rem = rem & (~best_bit)
+        resume = (node << 8) | rem
+        push_node = is_node & hit_any & (rem != 0)
+        from_node = jnp.where(is_node & hit_any, best_code, _EMPTY)
+
+        # ---- instance-row interpretation ----
+        enter = is_inst & ((ivis & ray_mask) != 0)
+        eox = fcols[0] * wox + fcols[1] * woy + fcols[2] * woz + fcols[9]
+        eoy = fcols[3] * wox + fcols[4] * woy + fcols[5] * woz + fcols[10]
+        eoz = fcols[6] * wox + fcols[7] * woy + fcols[8] * woz + fcols[11]
+        edx = fcols[0] * wdx + fcols[1] * wdy + fcols[2] * wdz
+        edy = fcols[3] * wdx + fcols[4] * wdy + fcols[5] * wdz
+        edz = fcols[6] * wdx + fcols[7] * wdy + fcols[8] * wdz
+        ii = v_dec & (INST_ROW_BIT - 1)
+
+        # ---- push: node resume or RESTORE marker ----
+        push = push_node | enter
+        push_val = jnp.where(enter, RESTORE, resume)
+        for s in range(stack_size):
+            stack_ref[s] = jnp.where((sp == s) & push, push_val,
+                                     stack_ref[s])
+        sp = sp + push.astype(jnp.int32)
+
+        # ---- current-space ray update ----
+        ox = jnp.where(enter, eox, jnp.where(is_restore, wox, ox))
+        oy = jnp.where(enter, eoy, jnp.where(is_restore, woy, oy))
+        oz = jnp.where(enter, eoz, jnp.where(is_restore, woz, oz))
+        dx = jnp.where(enter, edx, jnp.where(is_restore, wdx, dx))
+        dy = jnp.where(enter, edy, jnp.where(is_restore, wdy, dy))
+        dz = jnp.where(enter, edz, jnp.where(is_restore, wdz, dz))
+        ix = jnp.where(enter, safe_inv(edx), jnp.where(is_restore, wix, ix))
+        iy = jnp.where(enter, safe_inv(edy), jnp.where(is_restore, wiy, iy))
+        iz = jnp.where(enter, safe_inv(edz), jnp.where(is_restore, wiz, iz))
+        cur_inst = jnp.where(enter, ii, cur_inst)
+
+        # ---- tri-leaf interpretation (argmin-free best chain) ----
+        upper0 = t_limit if any_hit else t_best
+        lt = jnp.full(shape, jnp.inf, jnp.float32)
+        lprim = jnp.full(shape, -1, jnp.int32)
+        lu = zero_f
+        lv = zero_f
+        lbf = jnp.zeros(shape, jnp.bool_)
+        for k in range(L):
+            p0x, p0y, p0z = fcols[k], fcols[L + k], fcols[2 * L + k]
+            p1x, p1y, p1z = fcols[3 * L + k], fcols[4 * L + k], \
+                fcols[5 * L + k]
+            p2x, p2y, p2z = fcols[6 * L + k], fcols[7 * L + k], \
+                fcols[8 * L + k]
+            prim_k = prims[k]
+            e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
+            e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            valid_det = det != 0.0
+            inv_det = 1.0 / jnp.where(valid_det, det, 1.0)
+            tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            th = (
+                valid_det & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                & (tt > t_min) & (tt < upper0)
+            )
+            hit_k = th & is_tri & (prim_k >= 0)
+            better = hit_k & (tt < lt)
+            lt = jnp.where(better, tt, lt)
+            lprim = jnp.where(better, prim_k, lprim)
+            lu = jnp.where(better, uu, lu)
+            lv = jnp.where(better, vv, lv)
+            lbf = jnp.where(better, det < 0.0, lbf)
+        take = (lprim >= 0) & (lt < t_best)
+        t_best = jnp.where(take, lt, t_best)
+        prim = jnp.where(take, lprim, prim)
+        u_b = jnp.where(take, lu, u_b)
+        v_b = jnp.where(take, lv, v_b)
+        bf_b = jnp.where(take, lbf.astype(jnp.int32), bf_b)
+        inst_b = jnp.where(take, cur_inst, inst_b)
+
+        next_cur = jnp.where(
+            is_node, from_node, jnp.where(enter, iroot, _EMPTY)
+        )
+        if any_hit:
+            done = prim >= 0
+            sp = jnp.where(done, 0, sp)
+            next_cur = jnp.where(done, _EMPTY, next_cur)
+
+        need_pop = (next_cur == _EMPTY) & (sp > 0)
+        top = sp - 1
+        popped = jnp.full(shape, _EMPTY, jnp.int32)
+        for s in range(stack_size):
+            popped = jnp.where(top == s, stack_ref[s], popped)
+        next_cur = jnp.where(need_pop, popped, next_cur)
+        sp = jnp.where(need_pop, sp - 1, sp)
+
+        alive = jnp.any(next_cur != _EMPTY).astype(jnp.int32)
+        return (alive, next_cur, sp, cur_inst,
+                ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                t_best, prim, u_b, v_b, bf_b, inst_b)
+
+    state = jax.lax.while_loop(lambda s: s[0] > 0, body, state0)
+    (_, _, _, _, _, _, _, _, _, _, _, _, _,
+     t_best, prim, u_b, v_b, bf_b, inst_b) = state
+    o_t[:] = t_best
+    o_prim[:] = prim
+    o_u[:] = u_b
+    o_v[:] = v_b
+    o_bf[:] = bf_b
+    o_inst[:] = inst_b
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_seg", "width", "block_rows", "stack_size",
+                     "max_leaf", "any_hit", "interpret"),
+)
+def _trace_tlas_call(rows, ro, rd, t_min, t_max, active, ray_mask, *,
+                     n_seg, width, block_rows, stack_size, max_leaf,
+                     any_hit, interpret=False):
+    B = block_rows
+    R = ro.shape[0]
+    rrows = _ceil_to(R, B * LANES) // LANES
+    grid = rrows // B
+
+    # (N, W) → (W, n_seg, 128): entry e of column c at [c, e>>7, e&127]
+    N = rows.shape[0]
+    pad = jnp.zeros((n_seg * LANES - N, rows.shape[1]), rows.dtype)
+    packed = jnp.concatenate([rows, pad], axis=0)
+    packed = packed.reshape(n_seg, LANES, rows.shape[1]).transpose(2, 0, 1)
+    packed_i = jax.lax.bitcast_convert_type(packed, jnp.int32)
+
+    def prep(x, fill):
+        flat = jnp.full((rrows * LANES,), fill, x.dtype).at[:R].set(x)
+        return flat.reshape(rrows, LANES)
+
+    args = [
+        prep(ro[:, 0], 0.0), prep(ro[:, 1], 0.0), prep(ro[:, 2], 0.0),
+        prep(rd[:, 0], 1.0), prep(rd[:, 1], 0.0), prep(rd[:, 2], 0.0),
+        prep(t_min, 0.0), prep(t_max, 0.0),
+        prep(active.astype(jnp.int32), 0),
+        prep(ray_mask, 0),
+    ]
+    ray_spec = pl.BlockSpec((B, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    rows_spec = pl.BlockSpec((width, n_seg, LANES), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((rrows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rrows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rrows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rrows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rrows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rrows, LANES), jnp.int32),
+    ]
+
+    def kern(*refs):
+        _tlas_kernel(refs, B=B, n_seg=n_seg, stack_size=stack_size,
+                     max_leaf=max_leaf, any_hit=any_hit)
+
+    t, prim, u, v, bf, inst = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[rows_spec, rows_spec] + [ray_spec] * 10,
+        out_specs=[ray_spec] * 6,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((stack_size, B, LANES), jnp.int32)],
+        interpret=interpret,
+    )(packed, packed_i, *args)
+
+    def unprep(x):
+        return x.reshape(-1)[:R]
+
+    return tuple(unprep(x) for x in (t, prim, u, v, bf, inst))
+
+
+def trace_tlas_pallas(wn, ro, rd, t_min, t_max, active, ray_mask, *,
+                      max_leaf, stack_size, any_hit=False, block_rows=8,
+                      interpret=False):
+    """VMEM-resident wide TLAS/BLAS traversal (see module section comment).
+
+    Returns (t, prim, u, v, backface int, inst ROW index) — the caller
+    rebases inst by ``winst_base`` exactly like the XLA machine."""
+    sg = jax.lax.stop_gradient
+    rows = sg(wn["wrows_tlas"])
+    N, W = rows.shape
+    assert N <= T_MAX_TLAS_ROWS, (N, T_MAX_TLAS_ROWS)
+    n_seg = max(_ceil_to(N, LANES) // LANES, 1)
+    if ray_mask is None:
+        ray_mask = jnp.full(ro.shape[:1], 0x7fffffff, jnp.int32)
+    return _trace_tlas_call(
+        rows, sg(ro), sg(rd), sg(t_min), sg(t_max), active, ray_mask,
+        n_seg=n_seg, width=W, block_rows=block_rows,
+        stack_size=stack_size, max_leaf=max_leaf, any_hit=any_hit,
+        interpret=interpret,
+    )

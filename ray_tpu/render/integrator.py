@@ -256,6 +256,7 @@ def render_tile(
                     ro, rd, t_min, t_max, active,
                     ray_mask=mask if scene.has_visibility else None,
                     max_leaf=scene.max_leaf, stack_size=scene.stack_size,
+                    force_xla=settings.force_xla,
                 )
                 h = jax.tree_util.tree_map(_save, h)
                 return h, h.inst
@@ -277,6 +278,7 @@ def render_tile(
                     ro, rd, t_min, t_max, active,
                     ray_mask=mask if scene.has_visibility else None,
                     max_leaf=scene.max_leaf, stack_size=scene.stack_size,
+                    force_xla=settings.force_xla,
                 ))
             return _save(trace_occlusion_soa(
                 scene.bvh_soa, scene.tri_soa, ro, rd, t_min, t_max, active,
