@@ -1,12 +1,23 @@
 #!/usr/bin/env bash
-# Chunked test runner: one pytest process per file.
+# Canonical CPU test-suite command (deterministic, one process):
 #
-# The monolithic `pytest tests/` run segfaults intermittently deep into the
-# session (XLA CPU after hundreds of compilations in one process); per-file
-# processes isolate that and give a usable partial report.  ~2 cores in this
-# image → serial.
+#     scripts/run_tests.sh            # pytest tests/ -q
+#     scripts/run_tests.sh --chunked  # legacy per-file isolation loop
+#
+# History: the monolithic run used to segfault intermittently deep into
+# the session (XLA CPU with hundreds of live compiled executables in one
+# process — round-2/3 carry-over).  tests/conftest.py now drops JAX's
+# compiled-function caches at module boundaries, which bounds the live
+# executable count; the full suite passes in one process (~35 min on 2
+# cores).  The chunked loop remains as a fallback for bisecting an
+# individual module crash.
 set -u
 cd "$(dirname "$0")/.."
+
+if [ "${1:-}" != "--chunked" ]; then
+    exec timeout 7200 python -m pytest tests/ -q -p no:cacheprovider
+fi
+
 fail=0
 results=()
 for f in tests/test_*.py; do

@@ -140,3 +140,54 @@ def test_inactive_and_tmin_tmax_window():
     hitm = np.asarray(spec.prim) >= 0
     np.testing.assert_array_equal(np.asarray(fast.t)[hitm],
                                   np.asarray(spec.t)[hitm])
+
+
+def test_tlas_kernel_matches_xla_on_hw():
+    """Compiled-on-TPU Pallas TLAS kernel vs the XLA wide-TLAS machine
+    (the interpret-mode twin lives in tests/test_traverse_tlas_pallas.py):
+    hit indices/instances exact, t/u/v to ULPs."""
+    _require_tpu()
+    import jax.numpy as jnp
+
+    from ray_tpu.scene.materials import MaterialDesc, ShadingNode
+    from ray_tpu.scene.scene import Scene
+    from ray_tpu.utils.geometry import make_uv_sphere
+    from ray_tpu.ops import traverse
+    from ray_tpu.ops.traverse_pallas import trace_tlas_pallas
+
+    sc = Scene()
+    m = sc.add_material(MaterialDesc(type=ShadingNode.DIFFUSE))
+    v, idx, n, uv = make_uv_sphere(radius=0.6, rings=12, segments=16)
+    mesh = sc.add_mesh(v, idx, normals=n, uvs=uv, material=m)
+    r = np.random.RandomState(11)
+    for _ in range(8):
+        x = np.eye(4, dtype=np.float32)
+        x[0, 0] = x[1, 1] = x[2, 2] = r.uniform(0.5, 1.4)
+        x[:3, 3] = r.uniform(-2, 2, 3)
+        sc.add_instance(mesh, x)
+    sc.set_environment((0.5, 0.5, 0.5))
+    scene = sc.finalize(instancing="tlas")
+    assert "wrows_tlas" in scene.bvh_soa
+
+    R = 1024
+    ro = jnp.asarray(r.uniform(-4, 4, (R, 3)).astype(np.float32))
+    rd = r.randn(R, 3).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    rd = jnp.asarray(rd)
+    tmin = jnp.zeros((R,), jnp.float32)
+    tmax = jnp.full((R,), 1e30, jnp.float32)
+    act = jnp.asarray(r.rand(R) > 0.1)
+
+    xla = traverse._traverse_wide_tlas(
+        scene.bvh_soa, ro, rd, tmin, tmax, act, None,
+        scene.max_leaf, scene.stack_size, any_hit=False,
+    )
+    t, prim, u, v_, bf, inst_row = trace_tlas_pallas(
+        scene.bvh_soa, ro, rd, tmin, tmax, act, None,
+        max_leaf=scene.max_leaf, stack_size=scene.stack_size,
+    )
+    assert np.asarray(prim).tolist() == np.asarray(xla.prim).tolist()
+    np.testing.assert_allclose(np.asarray(t), np.asarray(xla.t), rtol=1e-6)
+    inst = jnp.where(prim >= 0, inst_row - scene.bvh_soa["winst_base"], -1)
+    np.testing.assert_array_equal(np.asarray(inst), np.asarray(xla.inst))
+    assert (np.asarray(prim) >= 0).sum() > 50
