@@ -151,24 +151,26 @@ def main():
     print(f"big scene: {inst_tris} instanced tris "
           f"({scene.num_tris} unique), {scene.num_lights} lights, "
           f"mode={scene.mode}", file=sys.stderr)
-    # grid swept on hardware (scripts/exp_tiles.py): 480x180 tiles beat
-    # 1920x90 bands 0.424 vs 0.402 Mray/s (squarer tiles share subtrees)
+    # grid re-swept on hardware with the Pallas TLAS kernel (r4): the
+    # kernel's per-1024-lane-block early exit replaces tile-level
+    # divergence control, so big tiles win — 2x2: 0.959 fwd / 0.513
+    # fwd+bwd vs 0.789 / 0.444 at the XLA-era 4x6
     mrays_big, mrays_big_fwd = bench_scene(
-        scene, cam, settings, iters=3, grid=(4, 6)
+        scene, cam, settings, iters=3, grid=(2, 2)
     )
     print(json.dumps({
         "metric": "Mrays/s/chip fwd 1080p 1spp 330k-tri scene",
         "value": round(mrays_big_fwd, 3),
         "unit": "Mray/s",
         "vs_baseline": 1.0,
-        "config": config(scene, (4, 6)),
+        "config": config(scene, (2, 2)),
     }))
     print(json.dumps({
         "metric": "Mrays/s/chip fwd+bwd 1080p 1spp 330k-tri scene",
         "value": round(mrays_big, 3),
         "unit": "Mray/s",
         "vs_baseline": 1.0,
-        "config": config(scene, (4, 6)),
+        "config": config(scene, (2, 2)),
     }))
 
     sc, cam = cornell_scene("emissive_quad")

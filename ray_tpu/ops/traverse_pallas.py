@@ -659,7 +659,7 @@ def _tlas_kernel(refs, *, B, n_seg, stack_size, max_leaf, any_hit):
         lprim = jnp.full(shape, -1, jnp.int32)
         lu = zero_f
         lv = zero_f
-        lbf = jnp.zeros(shape, jnp.bool_)
+        lbf = zero_i  # int32: Mosaic can't select i1 vectors
         for k in range(L):
             p0x, p0y, p0z = fcols[k], fcols[L + k], fcols[2 * L + k]
             p1x, p1y, p1z = fcols[3 * L + k], fcols[4 * L + k], \
@@ -692,13 +692,13 @@ def _tlas_kernel(refs, *, B, n_seg, stack_size, max_leaf, any_hit):
             lprim = jnp.where(better, prim_k, lprim)
             lu = jnp.where(better, uu, lu)
             lv = jnp.where(better, vv, lv)
-            lbf = jnp.where(better, det < 0.0, lbf)
+            lbf = jnp.where(better, (det < 0.0).astype(jnp.int32), lbf)
         take = (lprim >= 0) & (lt < t_best)
         t_best = jnp.where(take, lt, t_best)
         prim = jnp.where(take, lprim, prim)
         u_b = jnp.where(take, lu, u_b)
         v_b = jnp.where(take, lv, v_b)
-        bf_b = jnp.where(take, lbf.astype(jnp.int32), bf_b)
+        bf_b = jnp.where(take, lbf, bf_b)
         inst_b = jnp.where(take, cur_inst, inst_b)
 
         next_cur = jnp.where(
