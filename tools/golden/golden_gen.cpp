@@ -50,6 +50,9 @@ static const TestSpec g_tests[] = {
 
 static std::string g_meshes_dir;   // tests/goldens/meshes
 static std::string g_ref_data_dir; // /root/reference/tests
+// refspp decorrelation (see main): extra camera exposure compensating the
+// incremental average when rendering starts at a preset iteration
+static float g_exposure_offset = 0.0f;
 
 // ---------------------------------------------------------------------------
 // texture loading (mirrors tests/test_scene.cpp:46-226 load_needed_textures)
@@ -322,6 +325,7 @@ static void setup_scene(ThreadPool &threads, Ray::SceneBase &scene,
         } else if (scene_name == "Standard_SunLight") {
             cd.exposure = -14.0f;
         }
+        cd.exposure += g_exposure_offset;
         cd.min_total_depth = 4;
         // depth-cap overrides for transport-parity instrumentation
         // (per-cap delta series vs ray_tpu, see docs/ROADMAP.md #4)
@@ -729,6 +733,10 @@ int main(int argc, char *argv[]) {
             fprintf(stderr, "failed to create %s renderer\n", arch.c_str());
             return 1;
         }
+        if (refspp_mode) {
+            g_exposure_offset =
+                log2f(float(t.golden_spp + t.test_spp) / float(t.test_spp));
+        }
         auto scene = std::unique_ptr<Ray::SceneBase>(renderer->CreateScene());
         setup_scene(threads, *scene, t);
 
@@ -740,6 +748,20 @@ int main(int argc, char *argv[]) {
         for (int y = 0; y < H; y += Bucket) {
             for (int x = 0; x < W; x += Bucket) {
                 regions.emplace_back(Ray::rect_t{x, y, Bucket, Bucket});
+            }
+        }
+        if (refspp_mode) {
+            // decorrelate refspp from the golden: the golden is this same
+            // renderer's iterations 1..golden_spp, so sharing those
+            // iterations makes ref-vs-golden PSNR correlation-inflated by
+            // ~10*log10((M+1)/(M-1)) dB (M = golden/test spp ratio) — the
+            // whole "specular family deficit" of round 3.  Start at
+            // iteration K = golden_spp instead (disjoint sample strata)
+            // and compensate the incremental average's K-zero prefix with
+            // +log2((K+N)/N) stops of exposure (pre-tonemap scale).
+            const int K = t.golden_spp;
+            for (auto &r : regions) {
+                r.iteration = K;
             }
         }
         for (int i = 0; i < spp; i += std::min(Portion, spp - i)) {
