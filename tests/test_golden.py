@@ -97,6 +97,10 @@ def _gates(entry):
     gold_dir = entry.get("golden", entry["name"])
     ref_path = os.path.join(GOLDENS, gold_dir, "refspp.tga")
     note = ""
+    if entry["denoise"] != "none":
+        # refspp is an UNDENOISED reference render; its quality does not
+        # calibrate a denoised-output gate — keep the shipped floor
+        return floor, budget, note
     if os.path.exists(ref_path):
         gold = read_tga(os.path.join(GOLDENS, gold_dir, "ref.tga"))
         refspp = read_tga(ref_path)
