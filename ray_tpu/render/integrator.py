@@ -664,8 +664,12 @@ def render_tile(
         )
         surf = surface_mod.apply_tangent_rotation(scene, mat_id, surf)
 
+        # path regularization applies only once a DIFFUSE bounce is on the
+        # path (ShadeRef.cpp:1468: diff_depth > 0) — NOT after specular
+        # chains: a mirror box scene with regularize_alpha=0.1 must keep
+        # its reflections of reflections sharp (ray_flags golden)
         reg_alpha = jnp.where(
-            is_first, 0.0, jnp.float32(settings.regularize_alpha)
+            depth[:, 0] > 0, jnp.float32(settings.regularize_alpha), 0.0
         )
         params = uber.gather_uber_params(
             scene, mat_id, surf.uv, rd, surf.N, hit.backface, ext_ior,

@@ -88,6 +88,20 @@ def _light_power(d: LightDesc) -> float:
     return lum
 
 
+def effective_visible(d) -> bool:
+    """Whether BSDF/camera rays can hit this light — the reference's
+    l.visible (SceneCPU.cpp:590-739): multiple_importance gates every
+    type, and zero-radius sphere/line lights are point/line deltas that
+    cannot be intersected (l.visible = mi && radius > 0).  A visible=False
+    light is NEE-only with MIS weight 1 (ls.area = 0)."""
+    vis = bool(d.visible) and bool(d.multiple_importance)
+    if d.type in (LightType.SPHERE, LightType.LINE):
+        vis = vis and float(d.radius) > 0.0
+    if d.type == LightType.ENV:
+        vis = False
+    return vis
+
+
 def pack_lights(descs: list, tri_areas=None) -> dict:
     """Flatten light descriptors into SoA numpy columns + picking CDF.
 
@@ -147,7 +161,8 @@ def pack_lights(descs: list, tri_areas=None) -> dict:
         "doublesided": np.array([d.doublesided for d in descs], np.bool_),
         "portal": np.array([d.sky_portal for d in descs], np.bool_),
         "cast_shadow": np.array([d.cast_shadow for d in descs], np.bool_),
-        "visible": np.array([d.visible for d in descs], np.bool_),
+        "visible": np.array([effective_visible(d) for d in descs],
+                            np.bool_),
         "multiple_importance": np.array(
             [d.multiple_importance for d in descs], np.bool_
         ),

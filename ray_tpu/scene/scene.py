@@ -33,6 +33,7 @@ from ray_tpu.scene.bvh import (
     tri_bounds,
 )
 from ray_tpu.scene.camera import Camera
+from ray_tpu.scene import lights as lights_mod
 from ray_tpu.scene.lights import LightDesc, LightType, pack_lights
 from ray_tpu.scene.materials import (
     MAT_FLAG_IMP_SAMPLE,
@@ -975,8 +976,8 @@ class Scene:
                     sorted({int(d.type) for d in self._materials})
                 ) or (ShadingNode.DIFFUSE,),
                 "light_kinds": tuple(
-                    (int(d.type), bool(d.visible), bool(d.doublesided),
-                     bool(d.sky_portal))
+                    (int(d.type), lights_mod.effective_visible(d),
+                     bool(d.doublesided), bool(d.sky_portal))
                     for d in light_descs
                 ),
                 "env_tab_w": env_tab_w,

@@ -63,6 +63,15 @@ def _cases():
             m6, name="complex_mat6_adaptive", min_spp=16,
             variance_threshold=0.004, golden="complex_mat6",
         ))
+    # undenoised ray-flags row: the reference's ray_flags test runs through
+    # its OIDN UNet (test_shading.cpp:1911-1919); ours ships a self-trained
+    # 940k UNet that does not generalize to the mirror-box scene, which
+    # would hide whether the FLAGS are right — test them raw as well,
+    # gated by the decorrelated refspp relaxation like any non-denoise row
+    rf = next((t for t in out if t["name"] == "ray_flags"), None)
+    if rf is not None:
+        out.append(dict(rf, name="ray_flags_raw", denoise="none",
+                        golden="ray_flags"))
     return out
 
 
