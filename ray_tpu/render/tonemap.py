@@ -10,7 +10,11 @@ space (internal/TonemapRef.h:7-13).
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax.numpy as jnp
+import numpy as np
 
 from ray_tpu.ops.linalg import linear_to_srgb
 
@@ -153,9 +157,87 @@ def tonemap_filmic(c, contrast: float = 1.0):
     return jnp.clip(out, 0.0, 1.0)
 
 
-def apply_view_transform(c, view_transform: int, exposure=0.0, gamma=1.0):
+# --- baked 48^3 view-transform LUTs (reference parity path) ---------------
+#
+# The reference applies AgX/Filmic via OCIO-baked 48^3 LUTs with trilinear
+# interpolation over a c/(c+1) encoding (internal/TonemapRef.cpp
+# TonemapFilmic; entries packed 10/10/10/2-bit).  The packed words are
+# extracted verbatim by tools/golden/parse_tonemap_luts.py — that is the
+# exact transform the golden images were rendered with, so the LUT path is
+# the default for parity.  The analytic curves above remain available
+# (use_lut=False) as a data-free, unbounded-domain differentiable fallback.
+
+_LUT_DIMS = 48
+_LUT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data", "tonemap_luts.npz",
+)
+_LUT_KEYS = {
+    ViewTransform.AGX: "agx",
+    ViewTransform.AGX_PUNCHY: "agx_punchy",
+    ViewTransform.FILMIC_VERY_LOW_CONTRAST: "filmic_very_low_contrast",
+    ViewTransform.FILMIC_LOW_CONTRAST: "filmic_low_contrast",
+    ViewTransform.FILMIC_MED_LOW_CONTRAST: "filmic_med_low_contrast",
+    ViewTransform.FILMIC_MED_CONTRAST: "filmic_med_contrast",
+    ViewTransform.FILMIC_MED_HIGH_CONTRAST: "filmic_med_high_contrast",
+    ViewTransform.FILMIC_HIGH_CONTRAST: "filmic_high_contrast",
+    ViewTransform.FILMIC_VERY_HIGH_CONTRAST: "filmic_very_high_contrast",
+}
+
+
+@functools.lru_cache(maxsize=None)
+def _load_lut(view_transform: int):
+    """Unpack one LUT to a (48, 48, 48, 3) float32 [z][y][x] table (x <- R),
+    matching the reference's 10-bit/channel FetchLUT unpacking.  Returns
+    None when the data file is absent (analytic fallback)."""
+    if not os.path.exists(_LUT_PATH):
+        return None
+    key = _LUT_KEYS.get(view_transform)
+    if key is None:
+        return None
+    with np.load(_LUT_PATH) as z:
+        packed = z[key].astype(np.uint32)
+    rgb = np.stack(
+        [(packed >> s) & np.uint32(0x3FF) for s in (0, 10, 20)], axis=-1
+    ).astype(np.float32) / 1023.0
+    return rgb.reshape(_LUT_DIMS, _LUT_DIMS, _LUT_DIMS, 3)
+
+
+def tonemap_lut(c, lut):
+    """Trilinear 3-D LUT lookup over the c/(c+1) encoding (reference
+    TonemapRef.cpp TonemapFilmic).  Differentiable in ``c`` (piecewise
+    trilinear).  ``c``: (..., 3) linear RGB; ``lut``: (48,48,48,3)."""
+    lut = jnp.asarray(lut)
+    enc = c / (c + 1.0)
+    uv = jnp.clip(enc, 0.0, 1.0) * (_LUT_DIMS - 1)
+    i0 = jnp.clip(uv.astype(jnp.int32), 0, _LUT_DIMS - 1)
+    f = uv - i0
+    i1 = jnp.minimum(i0 + 1, _LUT_DIMS - 1)
+    ix0, iy0, iz0 = i0[..., 0], i0[..., 1], i0[..., 2]
+    ix1, iy1, iz1 = i1[..., 0], i1[..., 1], i1[..., 2]
+    fx = f[..., 0:1]
+    fy = f[..., 1:2]
+    fz = f[..., 2:3]
+
+    def fetch(iz, iy, ix):
+        return lut[iz, iy, ix]
+
+    c00 = fetch(iz0, iy0, ix0) * (1 - fx) + fetch(iz0, iy0, ix1) * fx
+    c01 = fetch(iz0, iy1, ix0) * (1 - fx) + fetch(iz0, iy1, ix1) * fx
+    c10 = fetch(iz1, iy0, ix0) * (1 - fx) + fetch(iz1, iy0, ix1) * fx
+    c11 = fetch(iz1, iy1, ix0) * (1 - fx) + fetch(iz1, iy1, ix1) * fx
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def apply_view_transform(c, view_transform: int, exposure=0.0, gamma=1.0,
+                         use_lut: bool = True):
     c = c * jnp.exp2(exposure)
-    if view_transform == ViewTransform.AGX:
+    lut = _load_lut(view_transform) if use_lut else None
+    if lut is not None:
+        out = tonemap_lut(c, lut)
+    elif view_transform == ViewTransform.AGX:
         out = tonemap_agx(c)
     elif view_transform == ViewTransform.AGX_PUNCHY:
         out = tonemap_agx_punchy(c)

@@ -10,6 +10,7 @@ output_sh's L0 coefficient must integrate back to the pixel radiance.
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -148,3 +149,51 @@ def test_exposure_is_stops():
     a = apply_view_transform(c, ViewTransform.STANDARD, exposure=1.0)
     b = apply_view_transform(c * 2.0, ViewTransform.STANDARD, exposure=0.0)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_lut_tonemap_matches_reference_unpacking():
+    """The baked 48^3 LUT path (reference internal/TonemapRef.cpp
+    TonemapFilmic; data extracted verbatim by
+    tools/golden/parse_tonemap_luts.py) must reproduce the reference's
+    trilinear lookup: at exact grid points the output equals the unpacked
+    10-bit entry, and interpolation stays inside the cell hull."""
+    from ray_tpu.render.tonemap import _load_lut, tonemap_lut
+
+    lut = _load_lut(ViewTransform.AGX)
+    if lut is None:
+        pytest.skip("tonemap_luts.npz not present")
+    assert lut.shape == (48, 48, 48, 3)
+    # grid-point exactness: encoded = i/47 -> c = e/(1-e); axis order
+    # x<-R, y<-G, z<-B, entry at lut[z][y][x]
+    idx = np.array([[0, 0, 0], [13, 7, 42], [47, 47, 47], [1, 30, 5]])
+    e = idx / 47.0
+    c = jnp.asarray(e / np.maximum(1.0 - e, 1e-7), jnp.float32)
+    got = np.asarray(tonemap_lut(c, lut))
+    want = lut[idx[:, 2], idx[:, 1], idx[:, 0]]
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # interpolated values bounded by the 8 cell corners
+    rng = np.random.default_rng(1)
+    cr = jnp.asarray(rng.random((128, 3), np.float32) * 6.0)
+    out = np.asarray(tonemap_lut(cr, lut))
+    assert out.min() >= lut.min() - 1e-6 and out.max() <= lut.max() + 1e-6
+    # differentiable in c
+    g = jax.grad(lambda x: tonemap_lut(x, lut).sum())(cr)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_lut_is_default_for_baked_transforms():
+    """apply_view_transform rides the baked LUT for AgX/Filmic (golden
+    parity: the reference rendered the goldens through these LUTs) and
+    keeps the analytic curves under use_lut=False."""
+    from ray_tpu.render.tonemap import _load_lut, tonemap_lut
+
+    if _load_lut(ViewTransform.FILMIC_HIGH_CONTRAST) is None:
+        pytest.skip("tonemap_luts.npz not present")
+    rng = np.random.default_rng(2)
+    c = jnp.asarray(rng.random((64, 3), np.float32) * 8.0)
+    for vt in (ViewTransform.AGX, ViewTransform.FILMIC_HIGH_CONTRAST):
+        via_api = np.asarray(apply_view_transform(c, vt))
+        direct = np.clip(np.asarray(tonemap_lut(c, _load_lut(vt))), 0, 1)
+        np.testing.assert_allclose(via_api, direct, atol=1e-6)
+        analytic = np.asarray(apply_view_transform(c, vt, use_lut=False))
+        assert np.abs(via_api - analytic).max() > 1e-3
