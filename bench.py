@@ -83,12 +83,14 @@ def bench_scene(scene, cam, settings, iters=5, bands=1, grid=None):
     def fwd_only(params, x0, y0, iteration):
         return loss_fn(params, x0, y0, iteration)
 
-    def timed(fn, extra_out=False):
+    def timed(fn, label=""):
         out = fn(params0, jnp.int32(0), jnp.int32(0), jnp.uint32(1))
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         total_rays = 0
+        frame_ts = []
         for i in range(iters):
+            f0 = time.perf_counter()
             for ty in range(ny):
                 for tx in range(nx):
                     out = fn(
@@ -96,10 +98,27 @@ def bench_scene(scene, cam, settings, iters=5, bands=1, grid=None):
                         jnp.int32(ty * tile_h), jnp.uint32(2 + i)
                     )
                     total_rays += int(out[1])
-        jax.block_until_ready(out)
+            jax.block_until_ready(out)
+            frame_ts.append(time.perf_counter() - f0)
+        # per-frame spread makes an environment blip (one slow frame)
+        # distinguishable from a real regression (all frames slow) —
+        # r04's flagship fwd+bwd printed 0.656 Mray/s that no rerun at
+        # the same commit reproduces (18+ in isolation, under an 11 GB
+        # HBM ballast, and in a full bench.py rerun)
+        print(f"  {label}: frames[s] min={min(frame_ts):.3f} "
+              f"med={sorted(frame_ts)[len(frame_ts)//2]:.3f} "
+              f"max={max(frame_ts):.3f}", file=sys.stderr)
         return total_rays / (time.perf_counter() - t0) / 1e6
 
-    return timed(fwd_bwd), timed(fwd_only)
+    mr_fwd_bwd = timed(fwd_bwd, "fwd+bwd")
+    mr_fwd = timed(fwd_only, "fwd")
+    if mr_fwd_bwd < mr_fwd / 5.0:
+        # guard for the r04 artifact: a fwd/fwd+bwd ratio past 5x is not
+        # a plausible path-replay cost (measured 1.6-1.7x) — re-time once
+        print(f"  WARN fwd/fwd+bwd ratio {mr_fwd/mr_fwd_bwd:.1f} > 5; "
+              f"re-timing fwd+bwd", file=sys.stderr)
+        mr_fwd_bwd = timed(fwd_bwd, "fwd+bwd retry")
+    return mr_fwd_bwd, mr_fwd
 
 
 def run_hw_tests():
@@ -173,9 +192,23 @@ def main():
         "config": config(scene, (2, 2)),
     }))
 
+    # drop the colonnade executables + captured scene constants before the
+    # flagship timing: leftover compilation-cache state is the one
+    # in-process coupling between the two measurements
+    import gc
+
+    del sc, scene
+    gc.collect()
+    jax.clear_caches()
+
     sc, cam = cornell_scene("emissive_quad")
     scene = sc.finalize()
     mrays, mrays_fwd = bench_scene(scene, cam, settings, iters=5)
+    ratio = mrays_fwd / max(mrays, 1e-9)
+    assert ratio < 5.0, (
+        f"fwd/fwd+bwd ratio {ratio:.1f} >= 5: backward-pass pathology "
+        f"(r04 regression guard)"
+    )
     print(json.dumps({
         "metric": "Mrays/s/chip fwd 1080p 1spp",
         "value": round(mrays_fwd, 3),

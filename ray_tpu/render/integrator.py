@@ -68,6 +68,10 @@ class PassSettings:
     regularize_alpha: float = 0.03
     use_nee: bool = True
     use_path_termination: bool = True
+    # debug: force uniform-area rect sampling (disable the spherical-
+    # rectangle branch) for bias-isolation experiments — was a module
+    # env-flag, now per-render like force_xla (no process-global toggles)
+    no_sphrect: bool = False
     # rematerialize the bounce body in backward: this *is* path-replay
     # backprop — the detached RNG makes recomputation exact, trading HBM
     # residency of per-bounce residuals for re-running the bounce math
@@ -560,7 +564,7 @@ def render_tile(
         if any_visible_analytic:
             seg_end = jnp.where(miss, t_max, hit.t)
             al_t, al_i, al_pdf, al_spot = light_sampling.intersect_area_lights(
-                scene, ro, rd, seg_end
+                scene, ro, rd, seg_end, no_sphrect=settings.no_sphrect
             )
             light_first = active & (al_i >= 0) & (al_t < seg_end)
             lcol = scene.lights["col"][jnp.maximum(al_i, 0)] * al_spot[:, None]
@@ -760,6 +764,7 @@ def render_tile(
             ls = light_sampling.sample_light_source(
                 scene, surf.P, surf.T, surf.B, surf.N, pick_r,
                 jnp.stack([luv_x, luv_y], axis=-1),
+                no_sphrect=settings.no_sphrect,
             )
             f_cos, pdf_b = uber.eval_uber(
                 params, surf.T, surf.B, surf.N, rd, ls.L, feats=feats

@@ -39,10 +39,6 @@ from ray_tpu.ops.linalg import (
 from ray_tpu.render.bsdf.microfacet import PI
 from ray_tpu.scene.lights import LightType
 
-# debug escape hatch: force uniform-area rect sampling (disable the
-# spherical-rectangle branch) for bias isolation experiments
-import os as _os
-_NO_SPHRECT = _os.environ.get("RAY_TPU_NO_SPHRECT", "") == "1"
 
 
 class LightSample(NamedTuple):
@@ -412,10 +408,13 @@ def light_pick_pdf(scene, P, light_idx):
     return pdf
 
 
-def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
+def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv,
+                        no_sphrect: bool = False):
     """Sample one light for each of R shading points.
 
     Returns a :class:`LightSample`; ``pdf == 0`` marks a failed/absent sample.
+    ``no_sphrect`` (a PassSettings debug toggle) forces uniform-area rect
+    sampling — a bias-isolation tool, off in production.
     """
     lights = scene.lights
     R = P.shape[0]
@@ -580,7 +579,7 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv):
         sr_pdf, sr_p, sr_ok = sample_spherical_rectangle(
             P, lpos, rect_u, rect_v, r1, r2
         )
-        if _NO_SPHRECT:
+        if no_sphrect:
             sr_ok = sr_ok & False
         rp_area = lpos + rect_u * (r1 - 0.5)[:, None] + rect_v * (r2 - 0.5)[:, None]
         rp = jnp.where(sr_ok[:, None], sr_p, rp_area)
@@ -874,7 +873,7 @@ def env_hit_pdf(scene, L):
     return scene.env_pdf[y * W + x]
 
 
-def intersect_area_lights(scene, ro, rd, t_max):
+def intersect_area_lights(scene, ro, rd, t_max, no_sphrect: bool = False):
     """Closest visible analytic light along each ray.
 
     Vectorized equivalent of the reference's ``IntersectAreaLights``
@@ -970,7 +969,7 @@ def intersect_area_lights(scene, ro, rd, t_max):
                     jnp.broadcast_to(u_ax, (R, 3)),
                     jnp.broadcast_to(v_ax, (R, 3)), zero, zero,
                 )
-                if _NO_SPHRECT:
+                if no_sphrect:
                     sr_ok = sr_ok & False
                 pdf = jnp.where(sr_ok, sr_pdf, pdf)
             spot = jnp.ones((R,), jnp.float32)

@@ -15,7 +15,7 @@ set -u
 cd "$(dirname "$0")/.."
 
 if [ "${1:-}" != "--chunked" ]; then
-    exec timeout 7200 python -m pytest tests/ -q -p no:cacheprovider
+    exec timeout 7200 python -m pytest tests/ -q -rs -p no:cacheprovider
 fi
 
 fail=0

@@ -55,8 +55,11 @@ def _cases():
     # complex_mat5_adaptive, is blocked by stripped textures — mirror its
     # parameters onto the runnable complex_mat6 scene against the same
     # converged golden; reference semantics: adaptive render at
-    # [min_spp, spp] with variance stop vs non-adaptive golden,
-    # tests/test_shading.cpp adaptive variants)
+    # [min_spp, spp] with variance stop vs non-adaptive golden).
+    # variance_threshold=0.004 is the reference's own VarianceThreshold
+    # (tests/test_shading.cpp:1469-1472: MinSampleCount=8,
+    # MaxSampleCount=18, VarianceThreshold=0.004f); min_spp scales to 16
+    # because complex_mat6's golden spp budget differs from mat5's 18.
     m6 = next((t for t in out if t["name"] == "complex_mat6"), None)
     if m6 is not None:
         out.append(dict(
