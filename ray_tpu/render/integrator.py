@@ -567,11 +567,15 @@ def render_tile(
                 scene, ro, rd, seg_end, no_sphrect=settings.no_sphrect
             )
             light_first = active & (al_i >= 0) & (al_t < seg_end)
-            lcol = scene.lights["col"][jnp.maximum(al_i, 0)] * al_spot[:, None]
+            # one-hot matmul reads (ops/gather.py): a plain [] gather costs
+            # ~2-3 ms per instruction inside the bounce scan (r5 profile)
+            from ray_tpu.ops.gather import read_rows as _rr
+            al_safe = jnp.maximum(al_i, 0)
+            lcol = _rr(scene.lights["col"], al_safe) * al_spot[:, None]
             if any(p for (_k, _v, _d, p) in scene.light_kinds):
                 # sky-portal hit shows the environment through the window
                 # (Evaluate_LightColor sky_portal branch, ShadeRef.cpp:1077)
-                hit_portal = scene.lights["portal"][jnp.maximum(al_i, 0)]
+                hit_portal = _rr(scene.lights["portal"], al_safe)
                 lcol = jnp.where(
                     hit_portal[:, None],
                     lcol * light_sampling.env_color(scene, rd),
@@ -712,9 +716,10 @@ def render_tile(
             )
             # MIS only where NEE could actually have sampled this hit: the
             # light's front side, or any side if doublesided
-            nee_covers = (~hit.backface) | scene.lights["doublesided"][
-                jnp.maximum(lid, 0)
-            ]
+            from ray_tpu.ops.gather import read_rows as _rr2
+            nee_covers = (~hit.backface) | _rr2(
+                scene.lights["doublesided"], jnp.maximum(lid, 0)
+            )
             needs_mis = indirect & params.imp_sample & (lid >= 0) & nee_covers
             mis_w = jnp.where(
                 needs_mis, power_heuristic(bsdf_pdf, light_pdf), 1.0

@@ -377,7 +377,7 @@ def light_pick_pdf(scene, P, light_idx):
 
     safe_idx = jnp.clip(light_idx, 0, scene.lights["type"].shape[0] - 1)
     if scene.light_tree_depth <= 0:
-        return scene.lights["pick_pdf"][safe_idx]
+        return read_rows(scene.lights["pick_pdf"], safe_idx)
     # detached like pick_light_tree (see its note)
     lt = jax.tree_util.tree_map(jax.lax.stop_gradient, scene.light_tree)
     P = jax.lax.stop_gradient(P)
@@ -440,9 +440,13 @@ def sample_light_source(scene, P, T, B, N, rand_pick, rand_uv,
         # pick by CDF (flux-proportional limit of the tree)
         idx = jnp.searchsorted(lights["pick_cdf"], rand_pick, side="right").astype(jnp.int32)
         idx = jnp.clip(idx, 0, nl - 1)
-        pick_pdf = lights["pick_pdf"][idx]
+        from ray_tpu.ops.gather import read_packed as _rp
+        pick_pdf, cdf_lo_raw = _rp(
+            [lights["pick_pdf"], lights["pick_cdf"]], idx)
         # rescale the pick random for reuse inside the light
-        cdf_lo = jnp.where(idx > 0, lights["pick_cdf"][jnp.maximum(idx - 1, 0)], 0.0)
+        # (cdf at idx-1: shift read via a second packed read would cost
+        # another matmul; derive it from cdf[idx] - pdf[idx] instead)
+        cdf_lo = jnp.where(idx > 0, cdf_lo_raw - pick_pdf, 0.0)
         u1 = saturate(safe_div_pos(rand_pick - cdf_lo, pick_pdf))
 
     # single one-hot-matmul read of the whole light row (ops/gather.py) —

@@ -137,14 +137,20 @@ def fetch_tri_pieces(table, prim, keys, onehot_max=128):
                 v = jnp.round(v)
             out[k] = v[:, 0] if b - a == 1 else v
     else:
+        # ONE row-span gather for all requested pieces.  Inside the bounce
+        # scan, each gather *instruction* costs ~2-3 ms per 518k-lane index
+        # list regardless of row width (the per-column formulation paid
+        # that ~20x per bounce — the dominant colonnade shade cost, r5
+        # profile); the old "per-column takes beat the row gather" note
+        # measured the ops OUTSIDE lax.scan, where XLA fuses the takes into
+        # one fast gather — inside the loop they stay separate and slow.
+        a_min = min(TRI_PIECES[k][0] for k in keys)
+        b_max = max(TRI_PIECES[k][1] for k in keys)
+        rows = table[:, a_min:b_max][i]
         for k in keys:
             a, b = TRI_PIECES[k]
-            if b - a == 1:
-                out[k] = jnp.take(table[:, a], i)
-            else:
-                out[k] = jnp.stack(
-                    [jnp.take(table[:, j], i) for j in range(a, b)], axis=-1
-                )
+            v = rows[:, a - a_min:b - a_min]
+            out[k] = v[:, 0] if b - a == 1 else v
     return out
 
 

@@ -392,23 +392,30 @@ def sample_bilinear(tex, tex_id, uv, lod=None, rand=None, aniso_duv=None,
                 tex, tex_id, uv + aniso_duv * frac[..., None], lod,
                 rand=rand))
         return sum(outs) / ANISO_TAPS
+    from ray_tpu.ops.gather import read_packed as _rp
+
     safe_id = jnp.maximum(tex_id, 0)
-    mip0 = tex["tex_mip0"][safe_id]
-    if lod is None:
-        rec = mip0
-    else:
-        nmips = tex["tex_mips"][safe_id]
-        lvl = jnp.clip(lod.astype(jnp.int32), 0, nmips - 1)
-        rec = mip0 + lvl
-    off = tex["tex_offset"][rec]
-    w = tex["tex_w"][rec]
-    h = tex["tex_h"][rec]
     compressed = "blocks_t" in tex  # static: any compressed texture packed
     has_rgbe = "rgbe_t" in tex      # static: any RGBE texture packed
+    # record-table reads batched into single packed reads (one-hot matmul
+    # for <=128 records): separate [] gathers cost ~2-3 ms per instruction
+    # inside the bounce scan (r5 profile)
+    if lod is None:
+        rec = _rp([tex["tex_mip0"]], safe_id)[0]
+    else:
+        mip0, nmips = _rp([tex["tex_mip0"], tex["tex_mips"]], safe_id)
+        lvl = jnp.clip(lod.astype(jnp.int32), 0, nmips - 1)
+        rec = mip0 + lvl
+    # tex_offset/tex_boff are texel-linear offsets that can exceed 2^24,
+    # where the f32 packing of read_packed loses exactness — keep them as
+    # direct integer gathers; the small-valued columns share one packed read
+    off = jnp.take(tex["tex_offset"], rec)
     if compressed or has_rgbe:
-        fmt = tex["tex_fmt"][rec]
-        boff = tex["tex_boff"][rec]
-        bw = tex["tex_bw"][rec]
+        boff = jnp.take(tex["tex_boff"], rec)
+        w, h, fmt, bw = _rp(
+            [tex["tex_w"], tex["tex_h"], tex["tex_fmt"], tex["tex_bw"]], rec)
+    else:
+        w, h = _rp([tex["tex_w"], tex["tex_h"]], rec)
 
     u = uv[..., 0] * w.astype(jnp.float32) - 0.5
     v = uv[..., 1] * h.astype(jnp.float32) - 0.5
@@ -417,9 +424,21 @@ def sample_bilinear(tex, tex_id, uv, lod=None, rand=None, aniso_duv=None,
     fu = u - x0
     fv = v - y0
 
-    def texel(xi, yi):
-        """One tap as (4, R) — minor-axis take avoids the 32× lane padding
-        a (R, 4) row gather would pay (module docstring)."""
+    P1 = {"w": w, "h": h, "off": off}
+    if compressed or has_rgbe:
+        P1.update(fmt=fmt, boff=boff, bw=bw)
+
+    def texel(xi, yi, P=P1):
+        """One tap as (4, L) — minor-axis take keeps the texel table in its
+        (4, N) transposed layout.  ``P``: per-lane address arrays, tiled
+        when several taps are batched into one call — on TPU the gather
+        *instruction* cost (per index list, ~2-3 ms at 518k lanes inside
+        the bounce scan) dominates over byte volume, so the bilinear
+        quad is fetched by ONE take of 4R indices, not four takes (r5
+        profile: each extra take fusion cost ~20 ms per bounce)."""
+        w, h, off = P["w"], P["h"], P["off"]
+        if compressed or has_rgbe:
+            fmt, boff, bw = P["fmt"], P["boff"], P["bw"]
         xi = jnp.mod(xi.astype(jnp.int32), w)
         yi = jnp.mod(yi.astype(jnp.int32), h)
         raw = jnp.take(tex["texels_t"], off + yi * w + xi, axis=1)
@@ -481,10 +500,12 @@ def sample_bilinear(tex, tex_id, uv, lod=None, rand=None, aniso_duv=None,
         # stochastic single tap (expectation == the 4-tap filter below)
         out = texel(jnp.floor(u + rand[..., 0]), jnp.floor(v + rand[..., 1]))
     else:
-        c00 = texel(x0, y0)
-        c10 = texel(x0 + 1, y0)
-        c01 = texel(x0, y0 + 1)
-        c11 = texel(x0 + 1, y0 + 1)
+        R0 = u.shape[0]
+        P4 = {k: jnp.tile(v, 4) for k, v in P1.items()}
+        xs = jnp.concatenate([x0, x0 + 1, x0, x0 + 1])
+        ys = jnp.concatenate([y0, y0, y0 + 1, y0 + 1])
+        quad = texel(xs, ys, P4).reshape(4, 4, R0)
+        c00, c10, c01, c11 = quad[:, 0], quad[:, 1], quad[:, 2], quad[:, 3]
         out = (
             c00 * (1 - fu) * (1 - fv)
             + c10 * fu * (1 - fv)

@@ -267,13 +267,21 @@ def build_scene(entry: dict):
     square_light_mat = emissive(20.3718)
     disc_light_mat = emissive(81.4873)
 
+    # flags_override: used ONLY by the denoiser-training data generator
+    # (scripts/train_unet.py) to draw randomized variants of the mirror-box
+    # class; golden tests never set it, so test scenes are unchanged
+    _fl = entry.get("flags_override", {})
     glossy_red = sc.add_material(MaterialDesc(
-        type=ShadingNode.GLOSSY, base_color=(1.0, 0.0, 0.0), roughness=0.0))
+        type=ShadingNode.GLOSSY,
+        base_color=tuple(_fl.get("red_color", (1.0, 0.0, 0.0))),
+        roughness=float(_fl.get("roughness", 0.0))))
     glossy_green = sc.add_material(MaterialDesc(
-        type=ShadingNode.GLOSSY, base_color=(0.0, 1.0, 0.0), roughness=0.0))
+        type=ShadingNode.GLOSSY,
+        base_color=tuple(_fl.get("green_color", (0.0, 1.0, 0.0))),
+        roughness=float(_fl.get("roughness", 0.0))))
     refr_mat_flags = sc.add_material(MaterialDesc(
         type=ShadingNode.PRINCIPLED, roughness=0.0, transmission=1.0,
-        ior=2.3))
+        ior=float(_fl.get("ior", 2.3))))
 
     if scene_name == "Standard_GlassBall0":
         glassball_mat0 = sc.add_material(MaterialDesc(
@@ -441,8 +449,9 @@ def build_scene(entry: dict):
             direction=(0.541675210, -0.541675210, -0.642787635),
             angle=angle))
     elif scene_name == "Ray_Flags":
+        _flm = float(entry.get("flags_override", {}).get("light_mul", 1.0))
         sc.add_light(LightDesc(
-            type=LightType.SPHERE, color=(0.0253302939,) * 3,
+            type=LightType.SPHERE, color=(0.0253302939 * _flm,) * 3,
             position=(-0.05, 0.2, 0.075), radius=0.0))
     # Standard_NoLight: nothing
 
