@@ -55,27 +55,45 @@ class Surface(NamedTuple):
     raw_tangent: jnp.ndarray     # (R, 3)
 
 
-def _inst_xform_point(inst, ii, p):
-    """World-from-object point transform from per-instance columns."""
+_INST_XFORM_COLS = (
+    "m00", "m01", "m02", "mtx", "m10", "m11", "m12", "mty",
+    "m20", "m21", "m22", "mtz",
+    "inv00", "inv01", "inv02", "inv10", "inv11", "inv12",
+    "inv20", "inv21", "inv22", "invtx", "invtz",
+)
+
+
+def fetch_inst_cols(inst, ii, names=_INST_XFORM_COLS):
+    """All per-instance transform columns for a lane's instance id in ONE
+    packed read (one-hot matmul for <=128 instances).  Column-by-column []
+    gathers each cost a separate ~3-4 ms gather instruction inside the
+    bounce scan (r5 profile: ~6 of the top ops were single-column inst
+    reads sharing one index)."""
+    from ray_tpu.ops.gather import read_packed
+
+    vals = read_packed([inst[n] for n in names], ii)
+    return dict(zip(names, vals))
+
+
+def _inst_xform_point(cols, p):
+    """World-from-object point transform from prefetched per-lane columns
+    (:func:`fetch_inst_cols`)."""
     x, y, z = p[:, 0], p[:, 1], p[:, 2]
     return jnp.stack([
-        inst["m00"][ii] * x + inst["m01"][ii] * y + inst["m02"][ii] * z
-        + inst["mtx"][ii],
-        inst["m10"][ii] * x + inst["m11"][ii] * y + inst["m12"][ii] * z
-        + inst["mty"][ii],
-        inst["m20"][ii] * x + inst["m21"][ii] * y + inst["m22"][ii] * z
-        + inst["mtz"][ii],
+        cols["m00"] * x + cols["m01"] * y + cols["m02"] * z + cols["mtx"],
+        cols["m10"] * x + cols["m11"] * y + cols["m12"] * z + cols["mty"],
+        cols["m20"] * x + cols["m21"] * y + cols["m22"] * z + cols["mtz"],
     ], axis=-1)
 
 
-def _inst_xform_normal(inst, ii, n):
+def _inst_xform_normal(cols, n):
     """Normal transform = (A⁻¹)ᵀ — reusing the inverse columns transposed
     (reference mesh_instance_t.inv_xform, internal/Core.h:384)."""
     x, y, z = n[:, 0], n[:, 1], n[:, 2]
     return jnp.stack([
-        inst["inv00"][ii] * x + inst["inv10"][ii] * y + inst["inv20"][ii] * z,
-        inst["inv01"][ii] * x + inst["inv11"][ii] * y + inst["inv21"][ii] * z,
-        inst["inv02"][ii] * x + inst["inv12"][ii] * y + inst["inv22"][ii] * z,
+        cols["inv00"] * x + cols["inv10"] * y + cols["inv20"] * z,
+        cols["inv01"] * x + cols["inv11"] * y + cols["inv21"] * z,
+        cols["inv02"] * x + cols["inv12"] * y + cols["inv22"] * z,
     ], axis=-1)
 
 
@@ -88,7 +106,8 @@ def hit_light_id(scene, prim, inst=None, row=None):
         row = fetch_tri_row(scene, prim)
     ids = row["light"].astype(jnp.int32)
     if scene.mode == "tlas":
-        base = scene.inst["light_base"][jnp.maximum(inst, 0)]
+        from ray_tpu.ops.gather import read_rows
+        base = read_rows(scene.inst["light_base"], jnp.maximum(inst, 0))
         return jnp.where((ids >= 0) & (inst >= 0), base + ids, -1)
     return ids
 
@@ -110,11 +129,10 @@ TRI_PIECES = {
 def fetch_tri_pieces(table, prim, keys, onehot_max=128):
     """Per-hit reads of named pieces of a packed (T, C) row table.
 
-    Measured on-chip (1080p wavefront, 2-Mray): the former single (R, 29)
-    row gather materializes the padded row buffer plus a layout transpose
-    and copies — ~19 ms — while per-piece reads cost 0.44 ms as one-hot
-    MXU matmuls (T ≤ 128; VJP is also a matmul) and 0.95 ms as per-column
-    1-D takes (any T).  Returns {key: (R, k) or (R,)} — scalar pieces
+    Small tables (T ≤ 128) read as one-hot MXU matmuls (VJP is also a
+    matmul, no scatter); larger tables read as ONE row-span gather — see
+    the in-branch note on why per-column takes are pathological inside
+    the bounce scan.  Returns {key: (R, k) or (R,)} — scalar pieces
     (k == 1) are squeezed.
     """
     i = jnp.maximum(prim, 0)
@@ -182,14 +200,16 @@ def compute_surface(scene, prim, u, v, backface, ro, rd, t, inst=None,
     p0, p1, p2 = row["p0"], row["p1"], row["p2"]
     n0, n1, n2 = row["n0"], row["n1"], row["n2"]
     uv0, uv1, uv2 = row["uv0"], row["uv1"], row["uv2"]
+    inst_cols = None
     if scene.mode == "tlas":
         ii = jnp.maximum(inst, 0)
-        p0 = _inst_xform_point(scene.inst, ii, p0)
-        p1 = _inst_xform_point(scene.inst, ii, p1)
-        p2 = _inst_xform_point(scene.inst, ii, p2)
-        n0 = safe_normalize(_inst_xform_normal(scene.inst, ii, n0))
-        n1 = safe_normalize(_inst_xform_normal(scene.inst, ii, n1))
-        n2 = safe_normalize(_inst_xform_normal(scene.inst, ii, n2))
+        inst_cols = fetch_inst_cols(scene.inst, ii)
+        p0 = _inst_xform_point(inst_cols, p0)
+        p1 = _inst_xform_point(inst_cols, p1)
+        p2 = _inst_xform_point(inst_cols, p2)
+        n0 = safe_normalize(_inst_xform_normal(inst_cols, n0))
+        n1 = safe_normalize(_inst_xform_normal(inst_cols, n1))
+        n2 = safe_normalize(_inst_xform_normal(inst_cols, n2))
 
     w = (1.0 - u - v)[:, None]
     # position from barycentrics (differentiable w.r.t. vertices), matching
@@ -223,15 +243,13 @@ def compute_surface(scene, prim, u, v, backface, ro, rd, t, inst=None,
     # Q·P + q0 per triangle; TLAS mode applies the instance inverse live.
     # Degenerate case falls back to the position direction.
     if scene.mode == "tlas":
-        ii = jnp.maximum(inst, 0) if inst is not None else jnp.zeros(
-            P.shape[:1], jnp.int32)
-        iv = scene.inst
-        plsx = iv["inv00"][ii] * P[:, 0] + iv["inv01"][ii] * P[:, 1] \
-            + iv["inv02"][ii] * P[:, 2] + iv["invtx"][ii]
-        plsz = iv["inv20"][ii] * P[:, 0] + iv["inv21"][ii] * P[:, 1] \
-            + iv["inv22"][ii] * P[:, 2] + iv["invtz"][ii]
+        iv = inst_cols
+        plsx = iv["inv00"] * P[:, 0] + iv["inv01"] * P[:, 1] \
+            + iv["inv02"] * P[:, 2] + iv["invtx"]
+        plsz = iv["inv20"] * P[:, 0] + iv["inv21"] * P[:, 1] \
+            + iv["inv22"] * P[:, 2] + iv["invtz"]
         t_ls = jnp.stack([-plsz, jnp.zeros_like(plsx), plsx], axis=-1)
-        tangent = _inst_xform_normal(scene.inst, ii, t_ls)
+        tangent = _inst_xform_normal(inst_cols, t_ls)
     else:
         tq = fetch_tri_pieces(scene.tri_surf, prim, ("tanq", "tanq0"))
         Q = tq["tanq"].reshape(-1, 3, 3)
