@@ -77,3 +77,54 @@ def test_scrambled_rand_deterministic_and_uniform():
     qx, _ = rng.scrambled_2d_rand(jnp.uint32(4), seed, samples)
     corr = np.corrcoef(np.asarray(rx), np.asarray(qx))[0, 1]
     assert abs(corr) < 0.1
+
+
+def test_pmj_table_mode():
+    """Reference-exact PMJ02 table mode (data from tools/golden/parse_pmj.py)
+    vs the computed Owen-Sobol default: same addressing, equal prefix
+    stratification (the reference's index shuffle maps any prefix to an
+    aligned block, CoreRef.cpp:1418-1426), uniform range."""
+    import numpy as np
+
+    from ray_tpu.ops import rng
+
+    if rng._pmj_table() is None:
+        import pytest
+
+        pytest.skip("pmj02_samples.npz not present")
+
+    seeds = (jnp.arange(4096, dtype=jnp.uint32) * jnp.uint32(2654435761)
+             + jnp.uint32(12345))
+
+    def cov_var(N, p, table):
+        est = sum(
+            (rng.scrambled_2d_rand(jnp.uint32(rng.RAND_DIM_FILTER), seeds,
+                                   jnp.uint32(s), table=table)[0] < p
+             ).astype(jnp.float32)
+            for s in range(N)
+        ) / N
+        return float(jnp.var(est)), float(jnp.mean(est))
+
+    for n in (8, 9, 16):
+        v_t, m_t = cov_var(n, 0.37, True)
+        v_c, m_c = cov_var(n, 0.37, False)
+        # both strongly beat i.i.d. sampling and agree with each other
+        rand_var = 0.37 * 0.63 / n
+        assert v_t < 0.35 * rand_var, (n, v_t, rand_var)
+        assert v_c < 0.35 * rand_var, (n, v_c, rand_var)
+        assert abs(m_t - 0.37) < 0.02 and abs(m_c - 0.37) < 0.02
+        assert 0.3 < v_t / max(v_c, 1e-12) < 3.0, (n, v_t, v_c)
+
+    # batched fetch == single calls, bit-exact, in both modes
+    for table in (False, True):
+        many = rng.scrambled_2d_rand_many(
+            [jnp.uint32(3), jnp.uint32(7)], seeds, jnp.uint32(5), table=table)
+        for d, (rx, ry) in zip((3, 7), many):
+            ex, ey = rng.scrambled_2d_rand(jnp.uint32(d), seeds, jnp.uint32(5),
+                                           table=table)
+            assert bool(jnp.all(rx == ex) & jnp.all(ry == ey))
+    # range
+    rx, ry = rng.scrambled_2d_rand(jnp.uint32(2), seeds, jnp.uint32(0),
+                                   table=True)
+    a = np.asarray(rx)
+    assert a.min() >= 0.0 and a.max() < 1.0
