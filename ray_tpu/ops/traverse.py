@@ -556,7 +556,8 @@ def set_force_xla(value: bool) -> None:
     _FORCE_XLA = bool(value)
 
 
-def _pallas_mode(n_nodes: int, n_tris: int, force_xla=None) -> str:
+def _pallas_mode(n_nodes: int, n_tris: int, force_xla=None,
+                 has_binned=False) -> str:
     # per-call override (threaded from PassSettings.force_xla — one REF
     # renderer no longer disables Pallas for every renderer in the process)
     # OR the process-global escape hatch used by tests/profilers
@@ -568,6 +569,11 @@ def _pallas_mode(n_nodes: int, n_tris: int, force_xla=None) -> str:
         return "brute"
     if max(n_nodes, n_tris) <= tp.T_MAX_BVH:
         return "bvh"
+    if has_binned:
+        # scenes finalized with pallas_binned=True route to the binned
+        # kernel (bit-exact; measured slower than the XLA machine on both
+        # cloud and city scenes — see traverse_pallas.py section comment)
+        return "binned"
     return "xla"
 
 
@@ -595,7 +601,7 @@ def trace_closest_soa(bvh, tris, ro, rd, t_min, t_max, active,
     mode = (
         None if tri_vis is not None
         else _pallas_mode(bvh["code0"].shape[0], tris["p0x"].shape[0],
-                          force_xla)
+                          force_xla, has_binned="binned_slab_f" in bvh)
     )
     return _trace_closest_soa_jit(
         bvh, tris, ro, rd, t_min, t_max, active, tri_vis, ray_mask,
@@ -634,6 +640,13 @@ def _trace_closest_soa_jit(bvh, tris, ro, rd, t_min, t_max, active,
 
         hit = trace_bvh_pallas(bvh, tris, ro, rd, t_min, t_max, active,
                                max_leaf=max_leaf, stack_size=stack_size)
+    elif mode == "binned":
+        from ray_tpu.ops.traverse_pallas import trace_flat_binned
+
+        binned = {k[7:]: v for k, v in bvh.items()
+                  if k.startswith("binned_")}
+        hit = trace_flat_binned(binned, ro, rd, t_min, t_max, active,
+                                max_leaf=max_leaf)
     elif wide:
         hit = _traverse_wide(
             bvh, ro, rd, t_min, t_max, active, max_leaf, stack_size,
@@ -663,7 +676,7 @@ def trace_occlusion_soa(bvh, tris, ro, rd, t_min, t_max, active,
     mode = (
         None if tri_vis is not None
         else _pallas_mode(bvh["code0"].shape[0], tris["p0x"].shape[0],
-                          force_xla)
+                          force_xla, has_binned="binned_slab_f" in bvh)
     )
     return _trace_occlusion_soa_jit(
         bvh, tris, ro, rd, t_min, t_max, active, tri_vis, ray_mask,
@@ -698,6 +711,14 @@ def _trace_occlusion_soa_jit(bvh, tris, ro, rd, t_min, t_max, active,
         hit = trace_bvh_pallas(bvh, tris, ro, rd, t_min, t_max, active,
                                max_leaf=max_leaf, stack_size=stack_size,
                                any_hit=True)
+        return hit.prim >= 0
+    if mode == "binned":
+        from ray_tpu.ops.traverse_pallas import trace_flat_binned
+
+        binned = {k[7:]: v for k, v in bvh.items()
+                  if k.startswith("binned_")}
+        hit = trace_flat_binned(binned, ro, rd, t_min, t_max, active,
+                                max_leaf=max_leaf, any_hit=True)
         return hit.prim >= 0
     if wide:
         hit = _traverse_wide(

@@ -817,3 +817,472 @@ def trace_tlas_pallas(wn, ro, rd, t_min, t_max, active, ray_mask, *,
         stack_size=stack_size, max_leaf=max_leaf, any_hit=any_hit,
         interpret=interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# Binned flatten kernel: big un-instanced scenes via per-block subtree DMA.
+#
+# The VMEM-resident BVH kernel above caps at T_MAX_BVH rows; the reference's
+# device path handles arbitrary flattened scenes in one kernel
+# (internal/RendererVK.cpp:580-595).  Here the scene's BVH2 is cut into
+# ≤SUB_ROWS-row subtrees (scene/bvh.py partition_subtrees) whose slabs live
+# in HBM; each (B × 128)-ray block walks subtrees in per-ray near-to-far
+# order, DMA-ing one slab at a time into VMEM scratch:
+#
+#   round:  per-lane next subtree = lexicographic-min (t_enter, sid) over
+#           the S subtree AABBs (brute fori_loop over SMEM scalars — S is a
+#           few hundred) strictly after the lane's frontier and closer than
+#           its current best hit;
+#           block subtree = min pending sid; DMA its slab; lanes whose next
+#           matches walk it (the same stack walk as _bvh_kernel, local
+#           codes, prim rebased by the subtree's tri offset); frontier
+#           advances.  Rays pre-sorted by first subtree keep blocks
+#           coherent, so most blocks need only a few DMAs.
+#
+# Bit-identical to the XLA wavefront on the same scene by the same argument
+# as the other kernels: same AABB/Möller-Trumbore math, and the
+# near-to-far + shrinking-t_best visit order cannot change the closest hit.
+#
+# MEASURED VERDICT (r5, real chip, 120k tris / 131k rays): bit-exact but
+# SLOWER than the XLA wavefront — 3.3 s vs 1.9 s on a uniform triangle
+# cloud, 5.5 s vs 0.24 s on a structured city grid.  The block-serialized
+# subtree rounds are structural: a long/grazing ray enters O(sqrt(S))
+# subtree AABBs and every visit costs its block a full round (S-iteration
+# selection + DMA + walk) even though the in-slab walk exits in a few
+# steps; the global-memory XLA walk pays one row-gather per step with no
+# per-subtree overhead and wins on exactly those rays.  Larger slabs
+# (1024 rows) trade fewer rounds for 2x fetch cost and lose more.  The
+# kernel therefore stays OPT-IN (finalize(pallas_binned=True) or direct
+# calls); the default dispatch keeps the XLA machine for scenes past the
+# VMEM caps.  Kept as a verified capability + the measured design study.
+# ---------------------------------------------------------------------------
+
+SUB_SEGS = 4                    # 512 rows per subtree slab
+SUB_ROWS = SUB_SEGS * LANES
+_F_COLS = ("lo0x", "lo0y", "lo0z", "hi0x", "hi0y", "hi0z",
+           "lo1x", "lo1y", "lo1z", "hi1x", "hi1y", "hi1z")
+# slab strides are padded to a multiple of 8 rows: DMA transfers with a
+# non-8-aligned sublane row count crash the chip (bisected on hardware —
+# (84,128) copies fault, (80/88/96,128) succeed)
+CF = _ceil_to((12 + 9) * SUB_SEGS, 8)   # f32 rows: node bounds + tri verts
+CI = _ceil_to(3 * SUB_SEGS, 8)          # i32 rows: codes + tri id map
+
+
+def pack_binned_scene(bvh, tri_soa, max_rows=SUB_ROWS):
+    """Host-side: partition + pack slabs for :func:`trace_flat_binned`.
+
+    Returns a dict of numpy arrays (stored on the scene):
+      slab_f (S*CF, 128) f32, slab_i (S*CI, 128) i32 (codes + local→global
+      tri map), sub_lo/sub_hi (S, 3); static ints ride as shapes.
+    """
+    from ray_tpu.scene.bvh import partition_subtrees, pack_bvh_soa
+
+    part = partition_subtrees(bvh, max_rows=max_rows)
+    S = len(part["sub_local"])
+    slab_f = np.zeros((S * CF, LANES), np.float32)
+    slab_i = np.full((S * CI, LANES), _EMPTY, np.int32)
+    sub_lo = np.zeros((S, 3), np.float32)
+    sub_hi = np.zeros((S, 3), np.float32)
+    for s, sub in enumerate(part["sub_local"]):
+        cols = pack_bvh_soa(sub)
+        nn = sub.child.shape[0]
+        assert nn <= max_rows
+        for ci, k in enumerate(_F_COLS):
+            seg = np.zeros((SUB_SEGS, LANES), np.float32)
+            # unhit default for far bounds: lo=0, hi=-1 (inverted, misses)
+            if k.startswith("hi"):
+                seg -= 1.0
+            flat = seg.reshape(-1)
+            flat[:nn] = cols[k]
+            slab_f[s * CF + ci * SUB_SEGS:s * CF + (ci + 1) * SUB_SEGS] = (
+                flat.reshape(SUB_SEGS, LANES)
+            )
+        ids = part["sub_tri_ids"][s]
+        tc = ids.shape[0]
+        for vi, k in enumerate(
+            ("p0x", "p0y", "p0z", "p1x", "p1y", "p1z", "p2x", "p2y", "p2z")
+        ):
+            flat = np.zeros(SUB_ROWS, np.float32)
+            flat[:tc] = np.asarray(tri_soa[k])[ids]
+            slab_f[s * CF + (12 + vi) * SUB_SEGS:
+                   s * CF + (12 + vi + 1) * SUB_SEGS] = (
+                flat.reshape(SUB_SEGS, LANES)
+            )
+        for ci, k in enumerate(("code0", "code1")):
+            flat = np.full(SUB_ROWS, _EMPTY, np.int32)
+            flat[:nn] = cols[k]
+            slab_i[s * CI + ci * SUB_SEGS:s * CI + (ci + 1) * SUB_SEGS] = (
+                flat.reshape(SUB_SEGS, LANES)
+            )
+        gmap = np.zeros(SUB_ROWS, np.int32)
+        gmap[:tc] = ids
+        slab_i[s * CI + 2 * SUB_SEGS:s * CI + 3 * SUB_SEGS] = (
+            gmap.reshape(SUB_SEGS, LANES)
+        )
+        sub_lo[s] = np.minimum(sub.child_lo[0, 0], sub.child_lo[0, 1])
+        sub_hi[s] = np.maximum(sub.child_hi[0, 0], sub.child_hi[0, 1])
+        # single-leaf subtree guard: child 1 may be an inverted empty box
+        if (sub.child_hi[0, 1] < sub.child_lo[0, 1]).any():
+            sub_lo[s] = sub.child_lo[0, 0]
+            sub_hi[s] = sub.child_hi[0, 0]
+    return {
+        "slab_f": slab_f,
+        "slab_i": slab_i,
+        "sub_lo": sub_lo,
+        "sub_hi": sub_hi,
+        # static ints ride as array SHAPES so the dict can live in a traced
+        # scene pytree: S = slab_i.shape[0] // CI; stack via this dummy
+        "stack_arr": np.zeros(int(part["depth"]) + 2, np.int8),
+    }
+
+
+def _binned_kernel(refs, *, B, S, stack_size, max_leaf, any_hit):
+    (slab_f_hbm, slab_i_hbm, aabb_ref,
+     ox, oy, oz, dx, dy, dz, tmn, tmx, act,
+     o_t, o_prim, o_u, o_v, o_bf,
+     slabf, slabi, stack_ref, sem) = refs
+
+    shape = (B, LANES)
+    BIG = jnp.float32(3.4e38)
+
+    rox, roy, roz = ox[:], oy[:], oz[:]
+    rdx, rdy, rdz = dx[:], dy[:], dz[:]
+    t_min = tmn[:]
+    t_limit = tmx[:]
+    active = act[:] != 0
+
+    def safe_inv(v):
+        tiny = jnp.where(v >= 0.0, jnp.float32(1e-7), jnp.float32(-1e-7))
+        return 1.0 / jnp.where(jnp.abs(v) > 1e-7, v, tiny)
+
+    ix, iy, iz = safe_inv(rdx), safe_inv(rdy), safe_inv(rdz)
+
+    def aabb_t(lox, loy, loz, hix, hiy, hiz, t_cap):
+        tx0 = (lox - rox) * ix
+        tx1 = (hix - rox) * ix
+        ty0 = (loy - roy) * iy
+        ty1 = (hiy - roy) * iy
+        tz0 = (loz - roz) * iz
+        tz1 = (hiz - roz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.maximum(jnp.minimum(tz0, tz1), t_min),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.minimum(jnp.maximum(tz0, tz1), t_cap),
+        )
+        return tn <= tf * 1.00000024, tn
+
+    def gather_slab(ref, base_row, idx):
+        """idx ∈ [0, SUB_ROWS) → value from the 4-segment column at
+        ``base_row`` of the slab scratch."""
+        local = idx & (LANES - 1)
+        seg = idx >> 7
+        out = None
+        for s in range(SUB_SEGS):
+            row = jnp.broadcast_to(ref[base_row + s:base_row + s + 1, :],
+                                   shape)
+            g = jnp.take_along_axis(row, local, axis=1)
+            out = g if out is None else jnp.where(seg == s, g, out)
+        return out
+
+    def next_subtree(f_t, f_sid, t_best, want):
+        """Lexicographic-min (t_enter, sid) strictly after (f_t, f_sid),
+        with t_enter < t_best, over all S subtree AABBs."""
+
+        def body(s, carry):
+            bt, bs = carry
+            lox = aabb_ref[0, s]
+            loy = aabb_ref[1, s]
+            loz = aabb_ref[2, s]
+            hix = aabb_ref[3, s]
+            hiy = aabb_ref[4, s]
+            hiz = aabb_ref[5, s]
+            hit, tn = aabb_t(lox, loy, loz, hix, hiy, hiz, t_best)
+            after = (tn > f_t) | ((tn == f_t) & (s > f_sid))
+            better = (tn < bt) | ((tn == bt) & (s < bs))
+            take = want & hit & after & better
+            bt = jnp.where(take, tn, bt)
+            bs = jnp.where(take, s, bs)
+            return bt, bs
+
+        bt0 = jnp.full(shape, BIG, jnp.float32)
+        bs0 = jnp.full(shape, 0x7FFFFFFF, jnp.int32)
+        bt, bs = jax.lax.fori_loop(0, S, body, (bt0, bs0))
+        return bt, jnp.where(bs == 0x7FFFFFFF, -1, bs)
+
+    def walk_slab(participate, t_best, prim, u_b, v_b, bf_b):
+        """The _bvh_kernel stack walk against the slab scratch."""
+        for s in range(stack_size):
+            stack_ref[s] = jnp.full(shape, _EMPTY, jnp.int32)
+        cur0 = jnp.where(participate, 0, _EMPTY)
+        sp0 = jnp.zeros(shape, jnp.int32)
+
+        def body(state):
+            _, cur, sp, t_best, prim, u_b, v_b, bf_b = state
+            is_node = cur >= 0
+            is_leaf = (cur < 0) & (cur != _EMPTY)
+            node = jnp.where(is_node, cur, 0)
+
+            h0, t0 = aabb_t(
+                gather_slab(slabf, 0 * SUB_SEGS, node).astype(jnp.float32),
+                gather_slab(slabf, 1 * SUB_SEGS, node),
+                gather_slab(slabf, 2 * SUB_SEGS, node),
+                gather_slab(slabf, 3 * SUB_SEGS, node),
+                gather_slab(slabf, 4 * SUB_SEGS, node),
+                gather_slab(slabf, 5 * SUB_SEGS, node),
+                t_best,
+            )
+            h1, t1 = aabb_t(
+                gather_slab(slabf, 6 * SUB_SEGS, node),
+                gather_slab(slabf, 7 * SUB_SEGS, node),
+                gather_slab(slabf, 8 * SUB_SEGS, node),
+                gather_slab(slabf, 9 * SUB_SEGS, node),
+                gather_slab(slabf, 10 * SUB_SEGS, node),
+                gather_slab(slabf, 11 * SUB_SEGS, node),
+                t_best,
+            )
+            c0 = gather_slab(slabi, 0 * SUB_SEGS, node)
+            c1 = gather_slab(slabi, 1 * SUB_SEGS, node)
+            near_is_0 = t0 <= t1
+            near_code = jnp.where(near_is_0, c0, c1)
+            far_code = jnp.where(near_is_0, c1, c0)
+            near_hit = ((near_is_0 & h0) | (~near_is_0 & h1)) & is_node
+            far_hit = ((near_is_0 & h1) | (~near_is_0 & h0)) & is_node
+
+            push = near_hit & far_hit
+            for s in range(stack_size):
+                stack_ref[s] = jnp.where(
+                    (sp == s) & push, far_code, stack_ref[s])
+            sp = sp + push.astype(jnp.int32)
+            from_node = jnp.where(
+                near_hit, near_code, jnp.where(far_hit, far_code, _EMPTY)
+            )
+
+            leaf_v = jnp.where(is_leaf, cur, -1)
+            first = (-leaf_v - 1) >> LEAF_COUNT_BITS
+            count = (-leaf_v - 1) & LEAF_COUNT_MASK
+            for k in range(max_leaf):
+                valid = is_leaf & (k < count)
+                tri = jnp.where(valid, first + k, 0)
+                p0x = gather_slab(slabf, 12 * SUB_SEGS, tri)
+                p0y = gather_slab(slabf, 13 * SUB_SEGS, tri)
+                p0z = gather_slab(slabf, 14 * SUB_SEGS, tri)
+                e1x = gather_slab(slabf, 15 * SUB_SEGS, tri) - p0x
+                e1y = gather_slab(slabf, 16 * SUB_SEGS, tri) - p0y
+                e1z = gather_slab(slabf, 17 * SUB_SEGS, tri) - p0z
+                e2x = gather_slab(slabf, 18 * SUB_SEGS, tri) - p0x
+                e2y = gather_slab(slabf, 19 * SUB_SEGS, tri) - p0y
+                e2z = gather_slab(slabf, 20 * SUB_SEGS, tri) - p0z
+                pvx = rdy * e2z - rdz * e2y
+                pvy = rdz * e2x - rdx * e2z
+                pvz = rdx * e2y - rdy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                valid_det = det != 0.0
+                inv_det = 1.0 / jnp.where(valid_det, det, 1.0)
+                tvx, tvy, tvz = rox - p0x, roy - p0y, roz - p0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (rdx * qvx + rdy * qvy + rdz * qvz) * inv_det
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                upper = t_limit if any_hit else t_best
+                take = (
+                    valid_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (t > t_min) & (t < upper) & valid
+                )
+                t_best = jnp.where(take, t, t_best)
+                prim = jnp.where(
+                    take, gather_slab(slabi, 2 * SUB_SEGS, tri), prim)
+                u_b = jnp.where(take, u, u_b)
+                v_b = jnp.where(take, v, v_b)
+                bf_b = jnp.where(take, (det < 0.0).astype(jnp.int32), bf_b)
+
+            next_cur = jnp.where(is_node, from_node, _EMPTY)
+            if any_hit:
+                done = prim >= 0
+                sp = jnp.where(done, 0, sp)
+                next_cur = jnp.where(done, _EMPTY, next_cur)
+
+            need_pop = (next_cur == _EMPTY) & (sp > 0)
+            top = sp - 1
+            popped = jnp.full(shape, _EMPTY, jnp.int32)
+            for s in range(stack_size):
+                popped = jnp.where(top == s, stack_ref[s], popped)
+            next_cur = jnp.where(need_pop, popped, next_cur)
+            sp = jnp.where(need_pop, sp - 1, sp)
+            alive = jnp.any(next_cur != _EMPTY).astype(jnp.int32)
+            return (alive, next_cur, sp, t_best, prim, u_b, v_b, bf_b)
+
+        state = jax.lax.while_loop(
+            lambda s: s[0] > 0, body,
+            (jnp.int32(1), cur0, sp0, t_best, prim, u_b, v_b, bf_b),
+        )
+        return state[3], state[4], state[5], state[6], state[7]
+
+    # ---- outer rounds ----
+    def round_body(state):
+        _, f_t, f_sid, t_best, prim, u_b, v_b, bf_b = state
+        want = active if not any_hit else (active & (prim < 0))
+        nt, ns = next_subtree(f_t, f_sid, t_best, want)
+        pending = ns >= 0
+        sid = jnp.min(jnp.where(pending, ns, 0x7FFFFFFF))
+
+        @pl.when(sid != 0x7FFFFFFF)
+        def _():
+            cf = pltpu.make_async_copy(
+                slab_f_hbm.at[pl.ds(sid * CF, CF), :], slabf, sem.at[0])
+            ci_ = pltpu.make_async_copy(
+                slab_i_hbm.at[pl.ds(sid * CI, CI), :], slabi, sem.at[1])
+            cf.start()
+            ci_.start()
+            cf.wait()
+            ci_.wait()
+
+        participate = pending & (ns == sid)
+        t_best, prim, u_b, v_b, bf_b = walk_slab(
+            participate & (sid != 0x7FFFFFFF),
+            t_best, prim, u_b, v_b, bf_b,
+        )
+        f_t = jnp.where(participate, nt, f_t)
+        f_sid = jnp.where(participate, sid, f_sid)
+        alive = (sid != 0x7FFFFFFF).astype(jnp.int32)
+        return (alive, f_t, f_sid, t_best, prim, u_b, v_b, bf_b)
+
+    state0 = (
+        jnp.int32(1),
+        jnp.full(shape, -BIG, jnp.float32),      # frontier t
+        jnp.full(shape, -1, jnp.int32),          # frontier sid
+        t_limit, jnp.full(shape, -1, jnp.int32),
+        jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.int32),
+    )
+    state = jax.lax.while_loop(lambda s: s[0] > 0, round_body, state0)
+    _, _, _, t_best, prim, u_b, v_b, bf_b = state
+    o_t[:] = t_best
+    o_prim[:] = prim
+    o_u[:] = u_b
+    o_v[:] = v_b
+    o_bf[:] = bf_b
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "block_rows", "stack_size", "max_leaf", "any_hit",
+                     "interpret"),
+)
+def _trace_binned_call(slab_f, slab_i, aabb8, ro, rd, t_min, t_max,
+                       active, *, S, block_rows, stack_size, max_leaf,
+                       any_hit, interpret=False):
+    B = block_rows
+    R = ro.shape[0]
+    rows = _ceil_to(R, B * LANES) // LANES
+    grid = rows // B
+
+    def prep(x, fill):
+        flat = jnp.full((rows * LANES,), fill, x.dtype).at[:R].set(x)
+        return flat.reshape(rows, LANES)
+
+    args = [
+        prep(ro[:, 0], 0.0), prep(ro[:, 1], 0.0), prep(ro[:, 2], 0.0),
+        prep(rd[:, 0], 1.0), prep(rd[:, 1], 0.0), prep(rd[:, 2], 0.0),
+        prep(t_min, 0.0), prep(t_max, 0.0),
+        prep(active.astype(jnp.int32), 0),
+    ]
+    ray_spec = pl.BlockSpec((B, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+    ]
+
+    def kern(*refs):
+        _binned_kernel(refs, B=B, S=S, stack_size=stack_size,
+                       max_leaf=max_leaf, any_hit=any_hit)
+
+    t, prim, u, v, bf = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # slab_f (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # slab_i (HBM)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # aabb8 (8, S_pad)
+        ] + [ray_spec] * 9,
+        out_specs=[ray_spec] * 5,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((CF, LANES), jnp.float32),
+            pltpu.VMEM((CI, LANES), jnp.int32),
+            pltpu.VMEM((stack_size, B, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(slab_f, slab_i, aabb8, *args)
+
+    def unprep(x):
+        return x.reshape(-1)[:R]
+
+    return tuple(unprep(x) for x in (t, prim, u, v, bf))
+
+
+def trace_flat_binned(binned, ro, rd, t_min, t_max, active, *,
+                      max_leaf, any_hit=False, block_rows=32,
+                      sort_rays=True, interpret=False):
+    """Big flattened scenes: per-block subtree DMA traversal (see section
+    comment).  ``binned``: the dict from :func:`pack_binned_scene` (numpy
+    or traced device arrays — static ints are shape-derived).  Rays are
+    pre-sorted by their nearest subtree so blocks stay coherent; hits
+    scatter back, so the result order is unchanged."""
+    sg = jax.lax.stop_gradient
+    ro, rd, t_min, t_max = sg(ro), sg(rd), sg(t_min), sg(t_max)
+    S = binned["slab_i"].shape[0] // CI
+    stack_size = binned["stack_arr"].shape[0]
+    S_pad = _ceil_to(max(S, LANES), LANES)
+    sub_lo = jnp.asarray(binned["sub_lo"])
+    sub_hi = jnp.asarray(binned["sub_hi"])
+    aabb8 = jnp.zeros((8, S_pad), jnp.float32)
+    aabb8 = aabb8.at[0:3, :S].set(sub_lo.T)
+    aabb8 = aabb8.at[3:6, :S].set(sub_hi.T)
+    # padded slots: inverted boxes never hit
+    aabb8 = aabb8.at[0:3, S:].set(1.0)
+    aabb8 = aabb8.at[3:6, S:].set(0.0)
+
+    perm = None
+    if sort_rays:
+        # first-subtree key per ray: brute AABB sweep, no gathers (slices
+        # of the (S, 3) bounds arrays)
+        inv = 1.0 / jnp.where(jnp.abs(rd) > 1e-7,
+                              rd, jnp.where(rd >= 0, 1e-7, -1e-7))
+        best_t = jnp.full(ro.shape[:1], 3.4e38, jnp.float32)
+        best_s = jnp.full(ro.shape[:1], S, jnp.int32)
+        for s in range(S):
+            t0 = (sub_lo[s] - ro) * inv
+            t1 = (sub_hi[s] - ro) * inv
+            tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), t_min)
+            tf = jnp.minimum(jnp.max(jnp.maximum(t0, t1), axis=-1) * 1.00000024,
+                             t_max)
+            hit = (tn <= tf) & active
+            take = hit & (tn < best_t)
+            best_t = jnp.where(take, tn, best_t)
+            best_s = jnp.where(take, jnp.int32(s), best_s)
+        perm = jnp.argsort(best_s, stable=True)
+        ro, rd = ro[perm], rd[perm]
+        t_min, t_max, active = t_min[perm], t_max[perm], active[perm]
+
+    out = _trace_binned_call(
+        jnp.asarray(binned["slab_f"]), jnp.asarray(binned["slab_i"]),
+        aabb8, ro, rd, t_min, t_max, active,
+        S=S, block_rows=block_rows,
+        stack_size=stack_size, max_leaf=max_leaf,
+        any_hit=any_hit, interpret=interpret,
+    )
+    if perm is not None:
+        inv_perm = jnp.argsort(perm)
+        out = tuple(x[inv_perm] for x in out)
+    t, prim, u, v, bf = out
+    return Hit(t=t, prim=prim, u=u, v=v, backface=bf != 0)

@@ -687,3 +687,167 @@ def bvh_depth(bvh: BVH2) -> int:
             if c >= 0:
                 depth[c] = depth[i] + 1
     return int(depth.max()) + 1 if bvh.num_nodes else 1
+
+
+# ---------------------------------------------------------------------------
+# Subtree partition for the big-flattened-scene Pallas path
+# (ops/traverse_pallas.py trace_flat_binned): cut the BVH2 into VMEM-sized
+# subtree slabs + a small top tree whose leaves reference them.  The
+# reference's device path handles arbitrary flattened scenes in one kernel
+# (internal/RendererVK.cpp:580-595); on TPU the analogue is per-block DMA
+# of the one subtree a sorted ray block needs.
+# ---------------------------------------------------------------------------
+
+
+def _subtree_extents(bvh: BVH2):
+    """Per-node DFS extents: node range [i, node_end[i]) and total leaf tri
+    count of the subtree rooted at i.  Node layout must be
+    parent-before-child and DFS-contiguous (asserted); leaf TRI indices
+    need not be contiguous (the native builder's aren't) — subtrees carry
+    an explicit local→global tri map instead."""
+    n = bvh.num_nodes
+    node_end = np.zeros(n, np.int64)
+    tcnt = np.zeros(n, np.int64)
+    for i in range(n - 1, -1, -1):
+        ne = i + 1
+        cnt = 0
+        for side in range(2):
+            c = int(bvh.child[i, side])
+            if c >= 0:
+                assert c > i, "builder must lay children after parents"
+                ne = max(ne, node_end[c])
+                cnt += tcnt[c]
+            else:
+                cnt += (-c - 1) & LEAF_COUNT_MASK
+        node_end[i] = ne
+        tcnt[i] = cnt
+    return node_end, tcnt
+
+
+def partition_subtrees(bvh: BVH2, max_rows: int = 512):
+    """Cut ``bvh`` into subtrees with ≤ ``max_rows`` nodes AND ≤ max_rows
+    tris each, plus a top tree over the cut roots.
+
+    Returns a dict:
+      top_child_lo/top_child_hi (Nt, 2, 3), top_code (Nt, 2) — internal
+        child ≥ 0 indexes the top array; a subtree leaf is ``-(sid+1)``;
+      sub_local: list of per-subtree BVH2-like dicts with LOCAL codes
+        (child index − node_off; leaf firsts renumbered consecutively);
+      sub_tri_ids: list of (n_s,) int32 local→global tri id maps;
+      depth: max subtree depth (stack sizing).
+    """
+    node_end, tcnt = _subtree_extents(bvh)
+
+    cuts = []
+
+    def cut(v):
+        if (node_end[v] - v) <= max_rows and tcnt[v] <= max_rows:
+            cuts.append(v)
+            return
+        for side in range(2):
+            c = int(bvh.child[v, side])
+            assert c >= 0, (
+                f"leaf with {bvh.counts[v, side]} tris cannot be split "
+                f"below max_rows={max_rows}"
+            )
+            cut(c)
+
+    import sys
+
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, bvh.num_nodes + 64))
+    try:
+        cut(0)
+    finally:
+        sys.setrecursionlimit(old)
+
+    sid_of = {v: i for i, v in enumerate(cuts)}
+
+    # ---- top tree: ancestors of the cut roots, renumbered ----
+    keep = []
+
+    def walk_top(v):
+        keep.append(v)
+        if v in sid_of:
+            return
+        for side in range(2):
+            walk_top(int(bvh.child[v, side]))
+
+    sys.setrecursionlimit(max(old, bvh.num_nodes + 64))
+    try:
+        walk_top(0)
+    finally:
+        sys.setrecursionlimit(old)
+    # drop cut roots that are internal in top only as leaves: the top tree
+    # nodes are the kept non-cut nodes; a cut root becomes a leaf slot of
+    # its parent.  Special case: root itself is a cut (single subtree).
+    top_nodes = [v for v in keep if v not in sid_of]
+    if not top_nodes:
+        # whole tree is one subtree: top tree = one pseudo-node whose
+        # child 0 is subtree 0 and child 1 is empty
+        top_child_lo = np.zeros((1, 2, 3), np.float32)
+        top_child_hi = np.zeros((1, 2, 3), np.float32)
+        top_child_lo[0, 0] = bvh.root_lo
+        top_child_hi[0, 0] = bvh.root_hi
+        top_child_lo[0, 1] = 1.0   # inverted box: never hits
+        top_child_hi[0, 1] = 0.0
+        top_code = np.array([[-1, -0x7FFFFFF0]], np.int32)
+    else:
+        remap = {v: i for i, v in enumerate(top_nodes)}
+        nt = len(top_nodes)
+        top_child_lo = np.zeros((nt, 2, 3), np.float32)
+        top_child_hi = np.zeros((nt, 2, 3), np.float32)
+        top_code = np.zeros((nt, 2), np.int32)
+        for v in top_nodes:
+            i = remap[v]
+            top_child_lo[i] = bvh.child_lo[v]
+            top_child_hi[i] = bvh.child_hi[v]
+            for side in range(2):
+                c = int(bvh.child[v, side])
+                if c in sid_of:
+                    top_code[i, side] = -(sid_of[c] + 1)
+                else:
+                    top_code[i, side] = remap[c]
+
+    # ---- per-subtree local arrays: renumber leaf tris consecutively and
+    # record the local→global id map (handles non-contiguous native-builder
+    # leaf ranges and SBVH duplicate references alike) ----
+    sub_local = []
+    sub_tri_ids = []
+    depth = 1
+    for s, v in enumerate(cuts):
+        ns, ne = v, int(node_end[v])
+        child = bvh.child[ns:ne].astype(np.int64).copy()
+        internal = child >= 0
+        child[internal] -= ns
+        ids = []
+        flat = child.reshape(-1)
+        for j in range(flat.shape[0]):
+            c = int(flat[j])
+            if c >= 0:
+                continue
+            code = -c - 1
+            first = code >> LEAF_COUNT_BITS
+            count = code & LEAF_COUNT_MASK
+            local_first = len(ids)
+            ids.extend(range(first, first + count))
+            flat[j] = -(((local_first << LEAF_COUNT_BITS) | count) + 1)
+        assert len(ids) <= max_rows, (len(ids), max_rows)
+        sub = BVH2(
+            child_lo=bvh.child_lo[ns:ne], child_hi=bvh.child_hi[ns:ne],
+            child=child, counts=bvh.counts[ns:ne],
+            prim_indices=None, root_lo=None, root_hi=None,
+            max_leaf=bvh.max_leaf,
+        )
+        depth = max(depth, bvh_depth(sub))
+        sub_local.append(sub)
+        sub_tri_ids.append(np.asarray(ids, np.int32))
+
+    return {
+        "top_child_lo": top_child_lo,
+        "top_child_hi": top_child_hi,
+        "top_code": top_code,
+        "sub_local": sub_local,
+        "sub_tri_ids": sub_tri_ids,
+        "depth": depth,
+    }

@@ -162,6 +162,23 @@ def _bvh_soa_with_wide(bvh, tri_soa, tri_vis=None, min_tris: int = 256):
     return out
 
 
+def _maybe_pack_binned(out, bvh, tri_soa, tri_vis):
+    """Opt-in subtree slabs for the binned Pallas path — measured slower
+    than the XLA machine (traverse_pallas.py section comment), so packed
+    only on request (finalize(pallas_binned=True))."""
+    from ray_tpu.ops.traverse_pallas import (
+        CI, T_MAX_BVH, pack_binned_scene,
+    )
+
+    n_tris = tri_soa["p0x"].shape[0]
+    if tri_vis is None and max(bvh.num_nodes, n_tris) > T_MAX_BVH:
+        b = pack_binned_scene(bvh, tri_soa)
+        if 2 <= b["slab_i"].shape[0] // CI <= 512:
+            for k, v in b.items():
+                out["binned_" + k] = v
+    return out
+
+
 # radial-tangent rotation: maps a local position to (-z, 0, x)
 # (the reference's "rotate around Y by 90 degrees in 2d", ShadeRef.cpp:1357)
 _R90 = np.array([[0.0, 0.0, -1.0],
@@ -394,7 +411,8 @@ class Scene:
                  light_tree_min_lights: int = 2,
                  instancing: str = "auto",
                  fast_build: bool = False,
-                 spatial_splits: bool = False) -> SceneFlat:
+                 spatial_splits: bool = False,
+                 pallas_binned: bool = False) -> SceneFlat:
         """Compile to a SceneFlat (the analogue of Scene::Finalize,
         SceneCPU.cpp:882: env light registration + BVH + light table).
 
@@ -414,6 +432,10 @@ class Scene:
         are built with fat leaves (never split below max_leaf) — measured
         4.3× faster tracing at 437k tris than the classic per-triangle
         SAH leaf cost (scripts/exp_leaf.py).
+
+        ``pallas_binned``: opt-in subtree-slab tables routing big flatten
+        scenes through the binned Pallas kernel (bit-exact; measured
+        slower than the XLA machine — ops/traverse_pallas.py).
 
         ``spatial_splits``: SBVH reference splitting for scenes with long
         thin / diagonally-overlapping triangles (the reference's
@@ -441,7 +463,7 @@ class Scene:
         return self._finalize_flatten(
             max_leaf if max_leaf is not None else 8,
             light_tree_min_lights, has_vis, fast_build,
-            spatial_splits=spatial_splits,
+            spatial_splits=spatial_splits, pallas_binned=pallas_binned,
         )
 
     def _material_solidity(self) -> np.ndarray:
@@ -496,7 +518,8 @@ class Scene:
         return col, d.two_sided
 
     def _finalize_flatten(self, max_leaf, light_tree_min_lights, has_vis,
-                          fast_build=False, spatial_splits=False):
+                          fast_build=False, spatial_splits=False,
+                          pallas_binned=False):
         verts, norms, uvs, tris, tri_mat, tri_vis = [], [], [], [], [], []
         tan_q, tan_q0 = [], []
         voffset = 0
@@ -615,9 +638,13 @@ class Scene:
                 self._tri_solidity(tri_mats), tri_light,
                 tangent_q=tangent_q, tangent_q0=tangent_q0,
             ),
-            "bvh_soa": _bvh_soa_with_wide(
-                bvh, pack_tri_soa(vertices, tri_vidx),
-                tri_viss if has_vis else None,
+            "bvh_soa": (lambda soa: _maybe_pack_binned(
+                soa, bvh, pack_tri_soa(vertices, tri_vidx),
+                tri_viss if has_vis else None) if pallas_binned else soa)(
+                _bvh_soa_with_wide(
+                    bvh, pack_tri_soa(vertices, tri_vidx),
+                    tri_viss if has_vis else None,
+                )
             ),
             "tri_soa": pack_tri_soa(vertices, tri_vidx),
             "root_lo": bvh.root_lo,

@@ -191,3 +191,56 @@ def test_tlas_kernel_matches_xla_on_hw():
     inst = jnp.where(prim >= 0, inst_row - scene.bvh_soa["winst_base"], -1)
     np.testing.assert_array_equal(np.asarray(inst), np.asarray(xla.inst))
     assert (np.asarray(prim) >= 0).sum() > 50
+
+
+@pytest.mark.parametrize("n_tris", [20_000, 120_000])
+def test_binned_kernel_matches_xla_on_hw(n_tris):
+    """Big un-instanced scenes: the binned per-block-DMA kernel
+    (trace_flat_binned) must return bit-identical hits to the XLA
+    wavefront — VERDICT r4 #6: ≥100k-tri flattened scene through Pallas,
+    ≥10k-ray coverage."""
+    _require_tpu()
+    import jax.numpy as jnp
+
+    from ray_tpu.ops import traverse
+    from ray_tpu.ops.traverse_pallas import CI, pack_binned_scene, trace_flat_binned
+    from ray_tpu.scene.bvh import build_bvh2, pack_tri_soa, bvh_depth, tri_bounds
+
+    r = np.random.RandomState(7)
+    base = (r.rand(n_tris, 1, 3) - 0.5) * 10.0
+    size = max(0.8, 12.0 / np.sqrt(n_tris))
+    tris = base + (r.rand(n_tris, 3, 3) - 0.5) * size
+    v = tris.reshape(-1, 3).astype(np.float32)
+    t = np.arange(3 * n_tris, dtype=np.int32).reshape(n_tris, 3)
+    lo, hi = tri_bounds(v, t)
+    b = build_bvh2(lo, hi, max_leaf=4)
+    tri_soa = pack_tri_soa(v, t[b.prim_indices])
+    binned = pack_binned_scene(b, tri_soa)
+    S = binned["slab_i"].shape[0] // CI
+    assert S >= 8
+
+    from ray_tpu.ops.traverse import _soa_from_arrays
+    bvh_soa, tsoa = _soa_from_arrays(
+        jnp.asarray(b.child_lo), jnp.asarray(b.child_hi),
+        jnp.asarray(b.child), jnp.asarray(b.prim_indices),
+        jnp.asarray(v), jnp.asarray(t),
+    )
+
+    R = 16384
+    ro, rd, tmn, tmx, act = _rays(R, 11)
+    stack = bvh_depth(b) + 4
+    hx = traverse.trace_closest_soa(
+        bvh_soa, tsoa, ro, rd, tmn, tmx, act,
+        max_leaf=4, stack_size=stack, force_xla=True)
+    hb = trace_flat_binned(binned, ro, rd, tmn, tmx, act, max_leaf=4)
+    assert (np.asarray(hx.prim) >= 0).sum() > R // 10
+    assert np.asarray(hb.prim).tolist() == np.asarray(hx.prim).tolist()
+    np.testing.assert_allclose(np.asarray(hb.t), np.asarray(hx.t), rtol=1e-6)
+    # occlusion verdicts agree
+    ox = traverse.trace_occlusion_soa(
+        bvh_soa, tsoa, ro, rd, tmn, tmx, act,
+        max_leaf=4, stack_size=stack, force_xla=True)
+    hb2 = trace_flat_binned(binned, ro, rd, tmn, tmx, act, max_leaf=4,
+                            any_hit=True)
+    np.testing.assert_array_equal(
+        np.asarray(hb2.prim) >= 0, np.asarray(ox))
