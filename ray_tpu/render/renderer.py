@@ -324,19 +324,23 @@ class Renderer:
         base = self.aux_base.reshape(h, w, 3)
         dn = self.aux_dn.reshape(h, w, 4)
         if mode == "nlm":
-            from ray_tpu.models.nlm import _box3, nlm_denoise
+            from ray_tpu.models.nlm import filter_variance, nlm_denoise
             from ray_tpu.render.tonemap import (
                 reversible_tonemap,
                 reversible_tonemap_invert,
             )
 
-            # filter in reversible-tonemap space with a pre-blurred dual-
-            # buffer variance estimate (RendererCPU.h:661-787 pre-pass)
+            # reference pipeline (RendererCPU.h:629-658 variance +
+            # :661-787 pre-pass): dual-buffer variance 0.5·(rt(2f−h) −
+            # rt(h))², Gauss-max blurred, NLM in reversible-tonemap space
+            half = self.half_buf.reshape(h, w, 3)
+            p1 = reversible_tonemap(jnp.maximum(2.0 * color - half, 0.0))
+            p2 = reversible_tonemap(half)
+            variance = filter_variance(0.5 * (p1 - p2) ** 2)
             color_t = reversible_tonemap(color)
-            half_t = reversible_tonemap(self.half_buf.reshape(h, w, 3))
-            var_t = _box3((color_t - half_t) ** 2) / 9.0
             out = reversible_tonemap_invert(
-                nlm_denoise(color_t, var_t, base_color=base, depth_normal=dn)
+                nlm_denoise(color_t, variance, base_color=base,
+                            depth_normal=dn)
             )
             return np.asarray(out)
         if mode == "unet":
