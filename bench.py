@@ -147,11 +147,16 @@ def main():
     if "--no-tpu-tests" not in sys.argv:
         run_hw_tests()
 
-    settings = PassSettings(max_total_depth=5, min_total_depth=2, remat=True)
-    # big scene: occupancy compaction after bounce 2 (exact lane packing,
-    # test_render compact-tail coverage) - measured -15% frame on-chip
+    # flagship: stored residuals (remat=False) — the checkpoint-policy sweep
+    # (ROADMAP perf #2) measured 28.7 Mray/s fwd+bwd vs 19.7 with path-replay
+    # remat at 1080p depth 5; the full residual set fits HBM on this scene
+    settings = PassSettings(max_total_depth=5, min_total_depth=2, remat=False)
+    # big scene: stored residuals OOM at compile (518k lanes x depth-8 scan),
+    # so it keeps path-replay remat; occupancy compaction after bounce 2
+    # (exact lane packing, test_render compact-tail coverage) - measured
+    # -15% frame on-chip
     settings_big = dataclasses.replace(
-        settings, compact_after=2, compact_factor=4)
+        settings, remat=True, compact_after=2, compact_factor=4)
 
     def config(scene, grid, st=None):
         """Settings fingerprint in every JSON line so cross-round numbers

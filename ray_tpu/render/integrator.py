@@ -80,6 +80,12 @@ class PassSettings:
     # the backward replay recomputes only shade math and never re-walks the
     # BVH — hit records are ~5 small (R,) arrays per bounce
     remat_save_trace: bool = True
+    # with remat, additionally save matmul outputs inside the bounce body
+    # (jax dots_saveable).  On gather-bound scenes the one-hot-matmul table
+    # lookups (instance transforms, material records, light records —
+    # ROADMAP perf #1) dominate shade cost, so saving them skips their
+    # replay in backward at modest HBM cost (lanes x row-width per bounce)
+    remat_save_dots: bool = False
     # occupancy compaction (the TPU answer to the reference's ray-compaction
     # counters + indirect dispatch, prepare_indir_args.comp.glsl): after
     # ``compact_after`` full-width bounce iterations, if the surviving lanes
@@ -998,6 +1004,12 @@ def render_tile(
             jax.checkpoint_policies.save_only_these_names("trace")
             if settings.remat_save_trace else None
         )
+        if settings.remat_save_dots:
+            dots = jax.checkpoint_policies.dots_saveable
+            policy = (
+                jax.checkpoint_policies.save_from_both_policies(policy, dots)
+                if policy is not None else dots
+            )
         body = jax.checkpoint(bounce_step, policy=policy)
     else:
         body = bounce_step

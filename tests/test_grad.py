@@ -145,3 +145,38 @@ def test_grad_finite_everywhere(setup):
     grads = jax.grad(loss)({"m": mat_float, "e": scene.env_col})
     for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
         assert np.isfinite(np.asarray(leaf)).all(), path
+
+
+def test_grad_checkpoint_policies_agree(setup):
+    """The three residual policies (stored, remat+trace, remat+trace+dots)
+    compute the same gradient — they differ only in what the backward pass
+    saves vs recomputes (detached RNG makes the replay exact).  Guards the
+    bench.py policy sweep (ROADMAP perf #2): the flagship rides stored
+    residuals, the big scene path-replay remat."""
+    scene, cam, table = setup
+
+    def loss_for(settings):
+        def loss(theta):
+            mats = dict(scene.materials)
+            mats["base_color"] = mats["base_color"].at[0].set(theta)
+            s = dataclasses.replace(scene, materials=mats)
+            out = render_tile(
+                s, cam, table, jnp.int32(0), jnp.int32(0),
+                jnp.uint32(1), jnp.uint32(0),
+                width=RES, height=RES, tile_w=RES, tile_h=RES,
+                settings=settings, use_filter_table=False,
+            )
+            return jnp.mean(out["color"])
+        return loss
+
+    theta0 = scene.materials["base_color"][0]
+    g_stored = jax.grad(loss_for(SETTINGS))(theta0)
+    g_remat = jax.grad(loss_for(
+        dataclasses.replace(SETTINGS, remat=True)))(theta0)
+    g_dots = jax.grad(loss_for(
+        dataclasses.replace(SETTINGS, remat=True, remat_save_dots=True)
+    ))(theta0)
+    np.testing.assert_allclose(
+        np.asarray(g_remat), np.asarray(g_stored), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(g_dots), np.asarray(g_stored), rtol=1e-5, atol=1e-7)
